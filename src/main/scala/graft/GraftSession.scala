@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Factory for a tuned local SparkSession. On a cluster the same settings
+  * arrive via spark-submit confs; nothing here is local-mode-specific except
+  * the master default. */
+object GraftSession {
+
+  def builder(cores: Int = 32, shufflePartitions: Int = -1): SparkSession.Builder = {
+    val sp = if (shufflePartitions > 0) shufflePartitions else math.max(cores, 8)
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", sp.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+  }
+
+  def get(cores: Int = 32): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
