@@ -1,0 +1,162 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.graph.Edge
+
+/**
+ * Breadth-first search as driver-orchestrated Dataset supersteps — the
+ * Spark-first re-expression of the reference's `RouteFinder` (`RouteFinder.kt`):
+ *
+ *  - queue + `prev`-map expansion (`RouteFinder.kt:47-67`)   → per-superstep
+ *    `frontier ⋈ edges` then `left_anti` against the visited set
+ *  - bidirectional alternation with frontier balancing and the `TOO_BIG`
+ *    cap (`RouteFinder.kt:15-45,71-72`)                      → expand the side
+ *    with the smaller frontier; a side past `tooBig` visited entries stops
+ *    expanding unless both are past it
+ *  - meeting check (`RouteFinder.kt:92`)                      → inner join of
+ *    the two visited sets; optimal-stop criterion bestLen ≤ radiusF+radiusB
+ *  - path stitch (`RouteFinder.kt:103-175`)                   → deterministic
+ *    min-(len, meetingId) tie-break (the reference's map-order-dependent
+ *    tie-break is deliberately NOT copied, SURVEY.md §7.4), then a parent
+ *    walk of ≤ pathLen tiny lookups per side
+ *
+ * Every superstep `localCheckpoint`s its state to keep plans O(1)-deep; the
+ * resumable table-backed variant runs through [[graft.state.Supersteps]].
+ */
+object Bfs {
+
+  /** Reference's visited-set expansion cap (`RouteFinder.kt:71-72`). */
+  val DefaultTooBig: Long = 1L << 18
+
+  /** Single-source distances (unidirectional BFS, G2). Returns (id, dist,
+    * parent) for every reachable vertex; parent is the min-id predecessor
+    * (deterministic). */
+  def distances(edges: Dataset[Edge], start: Long, maxDepth: Int = Int.MaxValue): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.toDF()
+    var visited = Seq((start, -1L, 0)).toDF("id", "parent", "dist")
+      .localCheckpoint(true)
+    var frontier = visited
+    var depth = 0
+    var frontierCount = 1L
+    while (frontierCount > 0 && depth < maxDepth) {
+      val expanded = frontier
+        .join(e, frontier("id") === e("src"))
+        .select($"dst".as("id"), $"src".as("parent"), ($"dist" + 1).as("dist"))
+      val next = expanded
+        .join(visited.select($"id".as("vid")), $"id" === $"vid", "left_anti")
+        .groupBy($"id")
+        .agg(min($"parent").as("parent"), first($"dist").as("dist"))
+        .localCheckpoint(true)
+      frontierCount = next.count()
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+      depth += 1
+    }
+    visited
+  }
+
+  /** Result of a bidirectional search: vertex-id path start..end inclusive,
+    * or None when unreachable. */
+  def shortestPath(
+      edgesOut: Dataset[Edge],
+      edgesIn: Dataset[Edge],
+      start: Long,
+      end: Long,
+      tooBig: Long = DefaultTooBig): Option[Seq[Long]] = {
+    if (start == end) return Some(Seq(start))
+    val spark = edgesOut.sparkSession
+    import spark.implicits._
+    val eOut = edgesOut.toDF()
+    val eIn = edgesIn.toDF()
+
+    // visited: (id, parent, dist); parent = min-id predecessor (deterministic)
+    var visF = Seq((start, -1L, 0)).toDF("id", "parent", "dist").localCheckpoint(true)
+    var visB = Seq((end, -1L, 0)).toDF("id", "parent", "dist").localCheckpoint(true)
+    var frontF = visF
+    var frontB = visB
+    var cntF = 1L; var cntB = 1L       // frontier sizes
+    var sizeF = 1L; var sizeB = 1L     // visited sizes (TOO_BIG accounting)
+    var radF = 0; var radB = 0         // completed levels per side
+
+    def expand(frontier: DataFrame, visited: DataFrame, edges: DataFrame)
+        : (DataFrame, DataFrame, Long) = {
+      val f = if (cntF.min(cntB) < 10000) broadcast(frontier) else frontier
+      val next = f
+        .join(edges, f("id") === edges("src"))
+        .select($"dst".as("id"), $"src".as("parent"), ($"dist" + 1).as("dist"))
+        .join(visited.select($"id".as("vid")), $"id" === $"vid", "left_anti")
+        .groupBy($"id")
+        .agg(min($"parent").as("parent"), first($"dist").as("dist"))
+        .localCheckpoint(true)
+      val n = next.count()
+      (next, visited.union(next).localCheckpoint(true), n)
+    }
+
+    def bestMeeting(): Option[(Long, Int, Int)] = {
+      val met = visF.select($"id", $"dist".as("df"))
+        .join(visB.select($"id", $"dist".as("db")), "id")
+        .select($"id", $"df", $"db", ($"df" + $"db").as("len"))
+        .orderBy($"len", $"id")
+        .limit(1)
+        .collect()
+      met.headOption.map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    }
+
+    // Loop until the best meeting is provably optimal (bestLen ≤ radF+radB:
+    // any shorter path would already contain a doubly-visited vertex), a side
+    // is exhausted with no meeting (⇒ unreachable: a drained forward side
+    // means visF is the full reachable set, and end ∈ visB from step 0), or
+    // the TOO_BIG policy deadlocks (reference gives up likewise).
+    var best: Option[(Long, Int, Int)] = None
+    var exhausted = false
+    while (!exhausted && best.forall { case (_, df, db) => df + db > radF + radB }) {
+      // expansion policy (`RouteFinder.kt:26-39`): a side past the cap stops
+      // unless both are past it; among allowed sides, smaller frontier first
+      val canF = cntF > 0 && (sizeF < tooBig || sizeB >= tooBig)
+      val canB = cntB > 0 && (sizeB < tooBig || sizeF >= tooBig)
+      if (!canF && !canB) exhausted = true
+      else {
+        val goForward = canF && (!canB || cntF <= cntB)
+        if (goForward) {
+          val (nf, nv, n) = expand(frontF, visF, eOut)
+          frontF = nf; visF = nv; cntF = n; sizeF += n; radF += 1
+        } else {
+          val (nb, nv, n) = expand(frontB, visB, eIn)
+          frontB = nb; visB = nv; cntB = n; sizeB += n; radB += 1
+        }
+        best = bestMeeting()
+        if (best.isEmpty && (cntF == 0 || cntB == 0)) exhausted = true
+      }
+    }
+
+    best.map { case (meetId, _, _) =>
+      val fChain = walk(visF, meetId)          // start..meet
+      val bChain = walk(visB, meetId)          // end..meet
+      fChain.reverse ++ bChain.tail            // start..meet..end
+    }
+  }
+
+  /** Parent-chain walk: meet → root, returning meet..root order. Each hop is
+    * one tiny filter on the checkpointed visited set (path length ≤ diameter). */
+  private def walk(visited: DataFrame, from: Long): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer[Long](from)
+    var cur = from
+    var parent = lookupParent(visited, cur)
+    while (parent != -1L) {
+      out += parent
+      cur = parent
+      parent = lookupParent(visited, cur)
+    }
+    out.toSeq
+  }
+
+  private def lookupParent(visited: DataFrame, id: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    visited.filter(col("id") === id).select(col("parent"))
+      .collect().headOption.map(_.getLong(0)).getOrElse(-1L)
+  }
+}
