@@ -1,0 +1,131 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.graph.Edge
+
+/** Per-superstep execution record — the lineage/metrics row the north rule
+  * requires for every iteration (persisted via [[graft.state.Supersteps]]). */
+case class SuperstepMetric(
+    algo: String,
+    superstep: Int,
+    rowsOut: Long,
+    edgesProcessed: Long,
+    wallMs: Long,
+    delta: Double)
+
+/**
+ * PageRank over the canonical edge table — Dataset/Catalyst only.
+ *
+ * Frozen convention (SURVEY.md §7.4.5; the oracle in tests implements the
+ * identical one): damping d = 0.85, ranks are a probability distribution
+ * (sum = 1), dangling mass redistributed uniformly each superstep:
+ *
+ *   rank'(v) = (1-d)/n + d * ( Σ_{u→v} rank(u)/outdeg(u) + dangling/n )
+ *
+ * Physical shape per superstep: one hash join ranks⋈edges on `src` (AQE
+ * skew-split as backstop; hub out-degree fans out map-side) and one partial
+ * + final hash aggregation by `dst` (map-side combine absorbs hub in-degree
+ * skew). The edges⋈outdeg weight join happens ONCE before the loop.
+ * Superstep state is localCheckpoint-ed (plan depth O(1)); the resumable
+ * variant writes state tables through Supersteps instead.
+ */
+object PageRank {
+
+  case class Result(ranks: DataFrame, metrics: Seq[SuperstepMetric], iterations: Int)
+
+  /**
+   * @param vertices single-column `id` DataFrame (every vertex, incl. isolated)
+   * @param tol      max per-vertex |Δrank| convergence threshold; 0 ⇒ run
+   *                 exactly `maxIter` supersteps
+   */
+  def run(
+      vertices: DataFrame,
+      edges: Dataset[Edge],
+      damping: Double = 0.85,
+      tol: Double = 1e-9,
+      maxIter: Int = 100): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val verts = vertices.select(col(vertices.columns.head).as("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    require(n > 0, "empty vertex set")
+    val edgeCount = edges.count()
+
+    // one-time: per-source weight = 1/outdeg, attached to each edge
+    val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val edgesW = edges.join(outDeg, "src")
+      .select($"src", $"dst", (lit(1.0) / $"deg").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesW.count()
+    // dangling vertices: no out-edges; their mass redistributes uniformly
+    val dangling = verts.join(edges.select($"src".as("id")).distinct(),
+      Seq("id"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    dangling.count()
+
+    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < maxIter && (tol <= 0.0 || delta > tol)) {
+      val t0 = System.nanoTime()
+      val danglingMass = ranks.join(dangling, "id")
+        .agg(coalesce(sum($"rank"), lit(0.0))).as[Double].head()
+      val contribs = ranks.join(edgesW, ranks("id") === edgesW("src"))
+        .groupBy($"dst".as("id"))
+        .agg(sum($"rank" * $"w").as("contrib"))
+      val base = (1.0 - damping) / n + damping * danglingMass / n
+      val newRanks = verts.join(contribs, Seq("id"), "left")
+        .select($"id",
+          (lit(base) + lit(damping) * coalesce($"contrib", lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+      delta =
+        if (tol > 0.0)
+          newRanks.join(ranks.withColumnRenamed("rank", "old"), "id")
+            .agg(max(abs($"rank" - $"old"))).as[Double].head()
+        else Double.MaxValue
+      ranks = newRanks
+      iter += 1
+      metrics += SuperstepMetric("pagerank", iter, n, edgeCount,
+        (System.nanoTime() - t0) / 1000000L, if (tol > 0.0) delta else -1.0)
+    }
+    Result(ranks, metrics.toSeq, iter)
+  }
+
+  /** In-driver dense power iteration — the frozen oracle for allclose-1e-6
+    * verification (FIXTURES.md §4; the reference has no PageRank, so this
+    * IS the normative semantics). Same convention as [[run]], exactly. */
+  def oracle(
+      n: Int,
+      edges: Seq[(Int, Int)],
+      damping: Double = 0.85,
+      tol: Double = 1e-12,
+      maxIter: Int = 200): Array[Double] = {
+    val out = Array.fill(n)(0)
+    edges.foreach { case (s, _) => out(s) += 1 }
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var rank = Array.fill(n)(1.0 / n)
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIter && delta > tol) {
+      val next = Array.fill(n)(0.0)
+      var danglingMass = 0.0
+      for (v <- 0 until n if out(v) == 0) danglingMass += rank(v)
+      for ((s, ts) <- adj; t <- ts) next(t) += rank(s) / out(s)
+      val base = (1.0 - damping) / n + damping * danglingMass / n
+      delta = 0.0
+      for (v <- 0 until n) {
+        val r = base + damping * next(v)
+        delta = math.max(delta, math.abs(r - rank(v)))
+        next(v) = r
+      }
+      rank = next
+      it += 1
+    }
+    rank
+  }
+}
