@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators over the `documents` table — the standard
+ * web-corpus dedup ladder, each scalable by construction:
+ *
+ *  - exact:         one hash-groupBy on a content digest (no pairwise work)
+ *  - n-gram Jaccard: shingle inverted index ⇒ pair candidates share ≥1
+ *                    shingle; intersection counts by join+agg (never a
+ *                    cross join)
+ *  - MinHash + LSH:  k-minhash signature in ONE pass (k parallel min aggs,
+ *                    single shuffle), banding ⇒ bucket join ⇒ verify
+ *  - SimHash:        64-bit signature, near-dup = small Hamming distance,
+ *                    banded by 16-bit quarters for the candidate join
+ *  - embedding near-dup: cosine ≥ τ via [[Similarity]] primitives
+ *
+ * Portability rule: exact/Jaccard/MinHash are built on md5 + whitespace
+ * shingles so the DuckDB oracle reproduces them bit-for-bit; SimHash uses
+ * JVM hashing and is verified against a driver oracle in ScalaTest.
+ */
+object Dedup {
+
+  // ---------------------------------------------------------------------------
+  // Exact dedup
+  // ---------------------------------------------------------------------------
+
+  /** Exact duplicates by content digest: returns (id, canonical_id) for every
+    * row, canonical = min id within the digest group. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val digests = docs.select(col(idCol).as("id"),
+      TextAnalysis.fingerprintMd5(col(textCol)).as("digest"))
+    val canon = digests.groupBy($"digest").agg(min($"id").as("canonical_id"))
+    digests.join(canon, "digest").select($"id", $"canonical_id")
+  }
+
+  // ---------------------------------------------------------------------------
+  // Word-shingle machinery (shared by Jaccard and MinHash)
+  // ---------------------------------------------------------------------------
+
+  /** Word n-gram shingles as an array column (space-joined token windows). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** (id, shingle) distinct pairs — the inverted-index edge list. */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+  }
+
+  /**
+   * n-gram Jaccard near-duplicates: all pairs (a < b) with
+   * |Sa ∩ Sb| / |Sa ∪ Sb| ≥ threshold. Candidates generated from the
+   * shingle inverted index (common-shingle join), so cost is Σ postings²
+   * per shingle — bounded by dropping ubiquitous shingles (`maxPostings`,
+   * the classic stop-shingle cut; disabled when ≤ 0).
+   */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxPostings: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docShingles(docs, idCol, textCol, n).persist()
+    val sizes = ds.groupBy($"id").agg(count(lit(1)).as("sz"))
+    val postings =
+      if (maxPostings > 0)
+        ds.join(ds.groupBy($"shingle").agg(count(lit(1)).as("pc"))
+          .filter($"pc" <= maxPostings), "shingle")
+          .select($"id", $"shingle")
+      else ds
+    val common = postings.select($"id".as("a"), $"shingle")
+      .join(postings.select($"id".as("b"), $"shingle"), "shingle")
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select($"id".as("a"), $"sz".as("sza")), "a")
+      .join(sizes.select($"id".as("b"), $"sz".as("szb")), "b")
+      .filter($"common".cast("double") /
+        ($"sza" + $"szb" - $"common").cast("double") >= threshold)
+      .select($"a", $"b")
+  }
+
+  // ---------------------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------------------
+
+  /** k-function MinHash signature, one aggregation pass: hash_i(s) =
+    * md5(i || '|' || s), minhash_i = lexicographic min (portable: string
+    * min over md5 hex matches DuckDB exactly). Output: id, m0..m{k-1}. */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docShingles(docs, idCol, textCol, n)
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(i.toString), lit("|"), $"shingle"))).as(s"m$i"))
+    ds.groupBy($"id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * MinHash-LSH candidate pairs: band the k-signature into `bands` groups of
+   * k/bands rows; docs sharing any band digest are candidates; optional
+   * exact-Jaccard verification pass keeps pairs ≥ threshold.
+   */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8, bands: Int = 4,
+      verifyThreshold: Double = -1.0): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k).persist()
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("key"))
+    }
+    val buckets = sigs.select($"id", explode(array(bandCols: _*)).as("bk"))
+      .select($"id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val cand = buckets.select($"id".as("a"), $"band", $"key")
+      .join(buckets.select($"id".as("b"), $"band", $"key"), Seq("band", "key"))
+      .filter($"a" < $"b")
+      .select($"a", $"b").distinct()
+    if (verifyThreshold <= 0) cand
+    else {
+      val verified = jaccardPairs(docs, idCol, textCol, n, verifyThreshold)
+      cand.join(verified, Seq("a", "b"), "left_semi")
+    }
+  }
+
+  // ---------------------------------------------------------------------------
+  // SimHash (JVM hashing; driver-oracle-tested, no SQL oracle)
+  // ---------------------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens using FNV-1a per-token hashes. */
+  def simhash64(text: String): Long = {
+    if (text == null) return 0L
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    for (t <- toks) {
+      val h = TextAnalysis.fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private val simhashUdf = udf((s: String) => simhash64(s))
+
+  /** SimHash near-duplicates: Hamming distance ≤ maxDist. Candidates by the
+    * pigeonhole banding trick: two signatures within distance d ≤ 3 share at
+    * least one identical 16-bit quarter; bucket-join quarters then verify
+    * with bit_count(xor). */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(maxDist <= 3, "quarter-banding guarantees recall only for d<=3")
+    val sigs = docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+      .persist()
+    val quarters = sigs.select($"id", $"sig",
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"),
+          shiftrightunsigned($"sig", q * 16).bitwiseAND(lit(0xFFFFL)).as("qv"))): _*)).as("b"))
+      .select($"id", $"sig", $"b.q".as("q"), $"b.qv".as("qv"))
+    val cand = quarters.select($"id".as("a"), $"sig".as("siga"), $"q", $"qv")
+      .join(quarters.select($"id".as("b"), $"sig".as("sigb"), $"q", $"qv"), Seq("q", "qv"))
+      .filter($"a" < $"b")
+      .select($"a", $"b", $"siga", $"sigb").distinct()
+    cand.filter(bit_count($"siga".bitwiseXOR($"sigb")) <= maxDist)
+      .select($"a", $"b")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ *  - [[cosine]]: codegen'd column expression (zip_with + aggregate), doubles
+ *    throughout for cross-engine reproducibility
+ *  - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set,
+ *    rank per query with a window; ranking key is round(cos,6) then id so
+ *    float noise can't flip orders across engines
+ *  - [[lshTopK]]: the scale path — random-hyperplane LSH buckets (planes are
+ *    a pure function of (seed, plane, dim): no data-dependent state), search
+ *    only the query's bucket ± optional multi-probe; recall measured vs
+ *    brute force in tests
+ */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /**
+   * Exact top-k neighbors for each query id. `queries` is a subset of
+   * `vectors` by id (typical eval shape). Output: (q, rank, neighbor).
+   * Self-matches excluded.
+   */
+  def bruteForceTopK(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qs = broadcast(vectors
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("q"), col(vecCol).as("qv")))
+    val scored = vectors.join(qs, col(idCol) =!= $"q")
+      .select($"q", col(idCol).as("neighbor"),
+        round(cosine($"qv", col(vecCol)), 6).as("cos"))
+    val w = Window.partitionBy($"q").orderBy($"cos".desc, $"neighbor")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"q", $"rank", $"neighbor", $"cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (seed, plane, dim):
+    * ±1 from splitmix64 parity — cheap, portable, and broadcastable. */
+  private def planeSign(seed: Long, plane: Int, dim: Int): Double = {
+    val h = graft.ingest.SynthCorpus.mix64(seed ^ (plane.toLong << 32) ^ dim.toLong)
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane signature: `planes`-bit bucket id per vector. */
+  def lshBucket(vectors: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val dim = vectors.select(size(col(vecCol))).first().getInt(0)
+    val planeCols = (0 until planes).map { p =>
+      val signs = array((0 until dim).map(d => lit(planeSign(seed, p, d))): _*)
+      val dot = aggregate(zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      planeCols.reduce(_.bitwiseOR(_)).as("bucket"))
+  }
+
+  /**
+   * Approximate top-k: candidates restricted to vectors whose LSH bucket is
+   * within `probeHamming` bits of the query's bucket (multi-probe), then
+   * exact cosine rank within candidates. Cuts the scanned fraction to
+   * ~Σ_{i≤probe} C(planes,i)/2^planes of the corpus.
+   */
+  def lshTopK(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int = 10, planes: Int = 8,
+      probeHamming: Int = 1, seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = lshBucket(vectors, idCol, vecCol, planes, seed).persist()
+    val qs = broadcast(bucketed.filter($"id".isin(queryIds: _*))
+      .select($"id".as("q"), $"vec".as("qv"), $"bucket".as("qb")))
+    val cand = bucketed.join(qs,
+      ($"id" =!= $"q") &&
+        (bit_count($"bucket".bitwiseXOR($"qb")) <= probeHamming))
+    val w = Window.partitionBy($"q").orderBy($"cos".desc, $"neighbor")
+    cand.select($"q", $"id".as("neighbor"),
+        round(cosine($"qv", $"vec"), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"q", $"rank", $"neighbor", $"cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a<b, cos ≥ threshold). Exact
+    * variant; at scale restrict to shared LSH buckets first. */
+  def embeddingNearDupPairs(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, useLsh: Boolean = false,
+      planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    if (!useLsh) {
+      val l = vectors.select(col(idCol).as("a"), col(vecCol).as("va"))
+      val r = vectors.select(col(idCol).as("b"), col(vecCol).as("vb"))
+      l.join(r, $"a" < $"b")
+        .filter(round(cosine($"va", $"vb"), 6) >= threshold)
+        .select($"a", $"b")
+    } else {
+      val bucketed = lshBucket(vectors, idCol, vecCol, planes, seed)
+      val l = bucketed.select($"id".as("a"), $"vec".as("va"), $"bucket")
+      val r = bucketed.select($"id".as("b"), $"vec".as("vb"), $"bucket")
+      l.join(r, Seq("bucket")).filter($"a" < $"b")
+        .filter(round(cosine($"va", $"vb"), 6) >= threshold)
+        .select($"a", $"b").distinct()
+    }
+  }
+}

@@ -1,0 +1,189 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators vs driver oracles on the real
+  * sf0.001 documents/embeddings tables. */
+class PipelineSpec extends SparkTestBase {
+
+  private lazy val docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  private lazy val embs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  private lazy val docList: Seq[(Long, String)] = {
+    import spark.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+  }
+  private lazy val vecList: Seq[(Long, Array[Float])] = {
+    import spark.implicits._
+    embs.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+  }
+
+  // -------------------------------------------------------------------------
+  // driver oracles
+  // -------------------------------------------------------------------------
+  private def oracleShingles(text: String, n: Int): Set[String] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def oracleJaccard(a: String, b: String, n: Int): Double = {
+    val (sa, sb) = (oracleShingles(a, n), oracleShingles(b, n))
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  private def oracleCos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // -------------------------------------------------------------------------
+
+  test("token counts match a driver count on every document") {
+    import spark.implicits._
+    val got = docs.select($"doc_id", TextAnalysis.tokenCount($"text").as("tc"))
+      .as[(Long, Int)].collect().toMap
+    for ((id, text) <- docList)
+      assert(got(id) == text.trim.split("\\s+").count(_.nonEmpty), s"doc $id")
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    import spark.implicits._
+    val res = Dedup.exact(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val byNorm = docList.groupBy(_._2.trim.toLowerCase.replaceAll("\\s+", " "))
+    for ((_, grp) <- byNorm) {
+      val want = grp.map(_._1).min
+      grp.foreach { case (id, _) => assert(res(id) == want) }
+    }
+    assert(res.size == docList.size)
+  }
+
+  test("jaccard pairs match exhaustive driver computation (n=3, t=0.5)") {
+    import spark.implicits._
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long)].collect().toSet
+    val want = (for {
+      (a, ta) <- docList; (b, tb) <- docList if a < b
+      if oracleJaccard(ta, tb, 3) >= 0.5
+    } yield (a, b)).toSet
+    assert(got == want)
+  }
+
+  test("minhash LSH: verified pairs ⊆ jaccard pairs; high-sim recall works") {
+    import spark.implicits._
+    val verified = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 8, bands = 4, verifyThreshold = 0.5).as[(Long, Long)].collect().toSet
+    val exactPairs = (for {
+      (a, ta) <- docList; (b, tb) <- docList if a < b
+      if oracleJaccard(ta, tb, 3) >= 0.5
+    } yield (a, b)).toSet
+    assert(verified.subsetOf(exactPairs))
+    // banding with b=4,r=2 catches ~all pairs at J>=0.9 (1-(1-J^r)^b ≈ 0.999)
+    val hi = (for {
+      (a, ta) <- docList; (b, tb) <- docList if a < b
+      if oracleJaccard(ta, tb, 3) >= 0.9
+    } yield (a, b)).toSet
+    assert(hi.subsetOf(verified))
+  }
+
+  test("simhash: identical docs collide, near-dup pairs verified by Hamming oracle") {
+    import spark.implicits._
+    assert(Dedup.simhash64("alpha beta gamma") == Dedup.simhash64("alpha beta gamma"))
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long)].collect().toSet
+    val sigs = docList.map { case (id, t) => id -> Dedup.simhash64(t) }.toMap
+    val want = (for {
+      (a, _) <- docList; (b, _) <- docList if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(got == want) // quarter banding is exact-recall for d<=3 (pigeonhole)
+  }
+
+  test("brute-force cosine top-k matches driver oracle") {
+    import spark.implicits._
+    val queries = Seq(0L, 1L, 2L)
+    val got = Similarity.bruteForceTopK(embs, "vec_id", "embedding", queries, k = 5)
+      .select($"q", $"rank", $"neighbor").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._2).map(_._3).toSeq }
+    val byId = vecList.toMap
+    for (q <- queries) {
+      val want = vecList.filter(_._1 != q)
+        .map { case (id, v) =>
+          (BigDecimal(oracleCos(byId(q), v)).setScale(6, BigDecimal.RoundingMode.HALF_UP), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(5).map(_._2)
+      assert(got(q) == want, s"query $q")
+    }
+  }
+
+  test("LSH top-k: bucket restriction yields decent recall vs brute force") {
+    import spark.implicits._
+    val queries = (0L until 10L).toSeq
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", queries, k = 5)
+      .select($"q", $"neighbor").as[(Long, Long)].collect().groupBy(_._1)
+    val approx = Similarity.lshTopK(embs, "vec_id", "embedding", queries,
+        k = 5, planes = 6, probeHamming = 2)
+      .select($"q", $"neighbor").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = queries.map { q =>
+      val b = brute(q).map(_._2).toSet
+      val a = approx.getOrElse(q, Array.empty).map(_._2).toSet
+      a.intersect(b).size.toDouble / b.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall $mean too low for planes=6 probe=2")
+    // scanned fraction must actually shrink: bucket sizes << corpus
+    val counts = Similarity.lshBucket(embs, "vec_id", "embedding", planes = 6)
+      .groupBy($"bucket").count().as[(Long, Long)].collect()
+    assert(counts.length > 4, "bucketing must spread vectors")
+  }
+
+  test("language id: marker-based heuristic is deterministic and covers all docs") {
+    import spark.implicits._
+    val res = TextAnalysis.languageId(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(res.size == docList.size)
+    assert(res.values.forall(l => Seq("en", "de", "fr", "es", "fi", "und").contains(l)))
+    val res2 = TextAnalysis.languageId(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(res == res2)
+  }
+
+  test("quality score within [0,1]; fingerprint fnv matches driver fn") {
+    import spark.implicits._
+    val qs = docs.select(TextAnalysis.qualityScore($"text")).as[Double].collect()
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+    val fps = docs.select($"doc_id", TextAnalysis.fingerprintFnv($"text"))
+      .as[(Long, Long)].collect().toMap
+    for ((id, t) <- docList.take(50))
+      assert(fps(id) == TextAnalysis.fnv1a64(t))
+  }
+
+  test("multimodal: payload plumbing, batch decode stub, frame sampling") {
+    import spark.implicits._
+    val media = Multimodal.withMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media, featureDim = 16).cache()
+    val rows = feats.collect()
+    assert(rows.length == docList.size)
+    assert(rows.forall(_.featureVec.length == 16))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media, featureDim = 16).collect()
+    assert(rows.map(r => (r.doc_id, r.featureVec.toSeq)).sortBy(_._1).toSeq ==
+      again.map(r => (r.doc_id, r.featureVec.toSeq)).sortBy(_._1).toSeq)
+    // schema is the typed contract
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("doc_id", "format", "width", "height", "frames", "featureVec"))
+    val sampled = Multimodal.sampleFrames(feats, everyNth = 2)
+    assert(sampled.groupBy($"doc_id").count().as[(Long, Long)].collect()
+      .forall { case (id, c) => c == (1 + (id % 4) + 1) / 2 })
+  }
+}
