@@ -1,24 +1,117 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+import graft.algo.PageRank
+import graft.graph.GraphBuilder
+import graft.ingest.{SynthCorpus, SynthGraph}
+import graft.query.{Lookups, Routes}
+
+/**
+ * Benchmark main (driver-run per round → BENCH_r{N}.json).
+ *
+ * Emits ONE JSON line:
+ *   - `queries`: wall seconds per headline query on SPARK_GRAFT_SF_DIR
+ *   - `scaling`: the north-rule two-cluster-size evidence — the SAME
+ *     PageRank job on the SAME synthetic edge table at local[N] and
+ *     local[4N], reporting edges/sec per superstep at both plus
+ *     efficiency = throughput(4N) / (4 × throughput(N))  (target ≥ 0.8;
+ *     sandbox protocol per BASELINE.md — no real cluster here)
+ *   - `route_ms`: seeded route-latency stats mirroring the reference's
+ *     `query --benchmark` (Benchmarking.java:14-34: seeded pairs,
+ *     min/max/mean over wall ms)
+ */
 object Bench {
+
+  /** Representative subset of SparkEntry.queries for per-round timing. */
+  private val Headline = Seq(
+    "g_edges", "g_degrees", "g_triangles", "g_cc", "g_bfs", "g_pagerank",
+    "q1_agg", "q_join_revenue", "q_window_events",
+    "d_exact", "d_jaccard", "d_minhash_lsh",
+    "t_langid", "s_ann_topk", "x_simhash_pairs")
+
+  private def session(cores: Int): SparkSession = {
+    val s = GraftSession.builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** PageRank superstep throughput (edges/sec) at a given core count. */
+  private def pagerankThroughput(cores: Int, vertices: Long, edgeCount: Long,
+      iters: Int): Double = {
+    val spark = session(cores)
+    try {
+      import spark.implicits._
+      val edges = SynthGraph.edges(spark, vertices, edgeCount)
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      val e = edges.count() // materialize outside the timed region
+      val verts = spark.range(vertices).toDF("id")
+      val t0 = System.nanoTime()
+      val res = PageRank.run(verts, edges, tol = 0.0, maxIter = iters)
+      res.ranks.foreach(_ => ()) // force final state
+      val secs = (System.nanoTime() - t0) / 1e9
+      edges.unpersist()
+      e.toDouble * iters / secs
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val small = math.max(cpus / 4, 1)
+
+    // --- scaling evidence: same job, same input, N vs 4N cores ---
+    val vertices = 200000L
+    val edgeCount = 2000000L
+    val iters = 5
+    val thrN = pagerankThroughput(small, vertices, edgeCount, iters)
+    val thr4N = pagerankThroughput(cpus, vertices, edgeCount, iters)
+    val efficiency = thr4N / (4.0 * thrN)
+
+    // --- headline queries + route latency at full cores ---
+    val spark = session(cpus)
+    import spark.implicits._
+    val results: Seq[(String, Double)] = Headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // route latency: deterministic corpus + seeded pairs (0xcafebabe,
+    // mirroring Benchmarking.java:15)
+    val corpus = SynthCorpus.generate(spark, 2000, avgDeg = 8)
+    val tEtl0 = System.nanoTime()
+    val graph = GraphBuilder.build(corpus.toDF())
+    graph.edges.count()
+    val etlSecs = (System.nanoTime() - tEtl0) / 1e9
+    val routes = new Routes(graph)
+    routes.pages.count(); routes.edgesOut.count(); routes.edgesIn.count()
+    val rng = new java.util.Random(0xcafebabeL)
+    val routeMs = (0 until 10).map { _ =>
+      val a = Lookups.randomPage(routes.pages, rng.nextLong()).get.url
+      val b = Lookups.randomPage(routes.pages, rng.nextLong()).get.url
+      val t0 = System.nanoTime()
+      routes.findRoute(a, b)
+      (System.nanoTime() - t0) / 1e6
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f""""scaling":{"cores_n":$small,"cores_4n":$cpus,"vertices":$vertices,"edges":${edgeCount},""" +
+      f""""supersteps":$iters,"throughput_n":$thrN%.0f,"throughput_4n":$thr4N%.0f,""" +
+      f""""unit":"edges/sec/superstep","efficiency":$efficiency%.3f},""" +
+      f""""route_ms":{"runs":${routeMs.size},"min":${routeMs.min}%.1f,"max":${routeMs.max}%.1f,""" +
+      f""""mean":${routeMs.sum / routeMs.size}%.1f},""" +
+      f""""etl":{"pages":2000,"seconds":$etlSecs%.1f}}"""
+    println(json)
     spark.stop()
   }
 }

@@ -1,13 +1,477 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algo.{Bfs, ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.graph.{Edge, EdgeTable, GraphBuilder}
+import graft.ingest.SynthCorpus
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.query.Routes
+
+/**
+ * Driver contract (SURVEY.md §7): every operator from the inventory exposed
+ * as a named query over the sf test tables, with an exactly-matching DuckDB
+ * oracle where SQL can express it.
+ *
+ * Graph queries run on a graph derived DETERMINISTICALLY from `lineitem`
+ * (`src = l_orderkey mod 997`, `dst = l_partkey mod 997`, sampled by
+ * `l_suppkey mod 13 = 0`) so Spark and DuckDB see the identical edge set
+ * with zero external data. Numeric portability rules: money/quantity sums in
+ * integer cents (associativity-proof), float outputs rounded AFTER
+ * double-precision computation, counts cast to BIGINT on both sides.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------------------
+  // Derived graph (shared by all g_* queries and their oracles)
+  // ---------------------------------------------------------------------------
+
+  def derivedEdges(s: SparkSession, dir: String): Dataset[Edge] = {
+    import s.implicits._
+    tbl(s, dir, "lineitem")
+      .filter($"l_suppkey" % 13 === 0)
+      .select(($"l_orderkey" % 997).cast("long").as("src"),
+              ($"l_partkey" % 997).cast("long").as("dst"))
+      .filter($"src" =!= $"dst")
+      .distinct()
+      .as[Edge]
+  }
+
+  def derivedVerts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = derivedEdges(s, dir)
+    e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct()
+  }
+
+  /** CTE prefix defining the identical graph in DuckDB. */
+  private val GraphCte =
+    """edges AS MATERIALIZED (
+      |  SELECT DISTINCT CAST(l_orderkey % 997 AS BIGINT) AS src,
+      |         CAST(l_partkey % 997 AS BIGINT) AS dst
+      |  FROM lineitem
+      |  WHERE l_suppkey % 13 = 0 AND (l_orderkey % 997) <> (l_partkey % 997)),
+      |und AS (SELECT src AS u, dst AS v FROM edges
+      |        UNION SELECT dst, src FROM edges),
+      |verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM und)""".stripMargin
+
+  /** Unrolled fixed-iteration PageRank in portable SQL (the same frozen
+    * convention as [[PageRank.run]]: d=0.85, dangling mass uniform).
+    * Every per-iteration CTE is MATERIALIZED — DuckDB otherwise inlines
+    * them, re-evaluating the whole chain exponentially. */
+  private def pagerankSql(iters: Int): String = {
+    val head =
+      s"""WITH $GraphCte,
+         |n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+         |outdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM n) AS rank FROM verts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s""",
+         |d$i AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm FROM $p r
+         |        LEFT JOIN outdeg o ON r.id = o.src WHERE o.src IS NULL),
+         |c$i AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / o.deg) AS contrib
+         |        FROM edges e JOIN $p r ON e.src = r.id
+         |        JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+         |r$i AS MATERIALIZED (SELECT v.id,
+         |        (1.0 - 0.85)/(SELECT n FROM n)
+         |          + 0.85 * ((SELECT dm FROM d$i)/(SELECT n FROM n)
+         |                     + COALESCE(c.contrib, 0.0)) AS rank
+         |        FROM verts v LEFT JOIN c$i c ON v.id = c.id)""".stripMargin
+    }.mkString
+    head + steps + s"\nSELECT id, ROUND(rank, 6) AS rank FROM r$iters"
+  }
+
+  // ---------------------------------------------------------------------------
+  // Shared text CTEs for the documents oracles
+  // ---------------------------------------------------------------------------
+
+  /** Distinct word-3-gram shingles per doc (mirrors Dedup.docShingles n=3). */
+  private val ShinglesCte =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |           range(1, greatest(len(toks) - 2, 0) + 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents))""".stripMargin
+
+  private val JaccardPairsSql =
+    s"""WITH $ShinglesCte,
+       |common AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS DOUBLE) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS sz FROM sh GROUP BY 1)
+       |SELECT c.a, c.b FROM common c
+       |JOIN sizes sa ON c.a = sa.doc_id
+       |JOIN sizes sb ON c.b = sb.doc_id
+       |WHERE c.common / (sa.sz + sb.sz - c.common) >= 0.5""".stripMargin
+
+  private val MinhashSigCte = {
+    val mins = (0 until 8).map(i => s"MIN(md5('$i|' || shingle)) AS m$i").mkString(", ")
+    s"sigs AS (SELECT doc_id AS id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  // ---------------------------------------------------------------------------
+  // queries + oracles
+  // ---------------------------------------------------------------------------
+
+  /** Flagship: build the link graph from the deterministic synthetic corpus
+    * and answer a golden route (wikilinks' own semantics end-to-end). */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val raw = SynthCorpus.toDF(spark, SynthCorpus.allFixtures).toDF()
+    val routes = new Routes(GraphBuilder.build(raw, smallIds = true))
+    val route = routes.findRoute(
+      SynthCorpus.urlOf("Gdansk"), SynthCorpus.urlOf("Polska"))
+    route.zipWithIndex.map { case (u, i) => (i, u) }.toDF("pos", "url")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- graph operators (derived lineitem graph) -----
+    "g_edges" -> ((s, dir) => derivedEdges(s, dir).toDF()),
+
+    "g_degrees" -> { (s, dir) =>
+      import s.implicits._
+      val e = derivedEdges(s, dir)
+      val out = EdgeTable.degrees(e, "src").withColumnRenamed("degree", "out_deg")
+      val in = EdgeTable.degrees(e, "dst").withColumnRenamed("degree", "in_deg")
+      derivedVerts(s, dir).join(out, Seq("id"), "left").join(in, Seq("id"), "left")
+        .select($"id", coalesce($"out_deg", lit(0L)).as("out_deg"),
+          coalesce($"in_deg", lit(0L)).as("in_deg"))
+    },
+
+    "g_triangles" -> { (s, dir) =>
+      import s.implicits._
+      val res = TriangleCount.run(derivedVerts(s, dir), derivedEdges(s, dir))
+      Seq(res.globalCount).toDF("triangles")
+    },
+
+    "g_cc" -> { (s, dir) =>
+      ConnectedComponents.run(derivedVerts(s, dir), derivedEdges(s, dir)).components
+    },
+
+    "g_bfs" -> { (s, dir) =>
+      import s.implicits._
+      val start = derivedVerts(s, dir).agg(min($"id")).as[Long].head()
+      Bfs.distances(derivedEdges(s, dir), start)
+        .select($"id", $"dist".cast("int").as("dist"))
+    },
+
+    "g_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val res = PageRank.run(derivedVerts(s, dir), derivedEdges(s, dir),
+        tol = 0.0, maxIter = 10)
+      res.ranks.select($"id", round($"rank", 6).as("rank"))
+    },
+
+    // ----- relational operators (TPC-H-ish; integer-cents arithmetic) -----
+    "q1_agg" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "lineitem").groupBy($"l_returnflag", $"l_linestatus").agg(
+        sum(round($"l_quantity" * 100).cast("long")).as("sum_qty_cents"),
+        sum(round($"l_extendedprice" * 100).cast("long")).as("sum_price_cents"),
+        count(lit(1)).as("cnt"))
+    },
+
+    "q_join_revenue" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(tbl(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+    },
+
+    "q_topk_prefix" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "part").filter($"p_name".startsWith("sma"))
+        .orderBy($"p_name", $"p_partkey").limit(10)
+        .select($"p_partkey", $"p_name")
+    },
+
+    "q_point" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "customer").filter($"c_custkey" === 42L)
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+    },
+
+    "q_stats_events" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "events").agg(
+        count(lit(1)).as("runs"),
+        round(min($"value"), 6).as("vmin"),
+        round(max($"value"), 6).as("vmax"),
+        round(avg($"value"), 4).as("vmean"),
+        round(stddev_samp($"value"), 4).as("vstddev"))
+    },
+
+    "q_window_events" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"user_id", $"event_id", $"rn")
+    },
+
+    // ----- dedup / text / similarity (documents + embeddings) -----
+    "d_exact" -> ((s, dir) => Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    "d_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+
+    "d_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(tbl(s, dir, "documents"), "doc_id", "text", n = 3, k = 8)),
+
+    "d_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 8, bands = 4, verifyThreshold = 0.5)),
+
+    "t_tokens" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "documents").select($"doc_id",
+        TextAnalysis.tokenCount($"text").as("tc"),
+        TextAnalysis.tokenCountBpe($"text").as("tc_bpe"))
+    },
+
+    "t_quality" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "documents").select($"doc_id",
+        TextAnalysis.qualityScore($"text").as("quality"))
+    },
+
+    "t_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    "t_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "documents").select($"doc_id",
+        TextAnalysis.fingerprintMd5($"text").as("fp"))
+    },
+
+    "s_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    "s_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)),
+
+    "m_meta" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.withMedia(tbl(s, dir, "documents"), "doc_id", "text")
+        .toDF()
+        .select($"doc_id", $"meta.format".as("format"),
+          $"meta.width".as("width"), $"meta.height".as("height"))
+    },
+
+    // ----- no SQL oracle (rows-only driver check) -----
+    "x_route" -> ((s, _) => entry(s)),
+
+    "x_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
+
+    "x_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L), k = 5, planes = 6, probeHamming = 2)),
+
+    "x_lpa" -> { (s, dir) =>
+      LabelPropagation.run(derivedVerts(s, dir), derivedEdges(s, dir), maxIter = 5).labels
+    },
+
+    "x_media_features" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.extractFeatures(
+        Multimodal.withMedia(tbl(s, dir, "documents"), "doc_id", "text"), 16)
+        .select($"doc_id", $"format", $"frames")
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "g_edges" ->
+      s"WITH $GraphCte SELECT src, dst FROM edges",
+
+    "g_degrees" ->
+      s"""WITH $GraphCte
+         |SELECT v.id,
+         |  CAST(COALESCE(o.c, 0) AS BIGINT) AS out_deg,
+         |  CAST(COALESCE(i.c, 0) AS BIGINT) AS in_deg
+         |FROM verts v
+         |LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o ON v.id = o.src
+         |LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) i ON v.id = i.dst""".stripMargin,
+
+    "g_triangles" ->
+      s"""WITH $GraphCte,
+         |ce AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges
+         |       GROUP BY 1, 2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+         |FROM ce e1 JOIN ce e2 ON e1.b = e2.a
+         |JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "g_cc" ->
+      s"""WITH RECURSIVE $GraphCte,
+         |reach(n, m) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT u.u, r.m FROM und u JOIN reach r ON u.v = r.n)
+         |SELECT n AS id, CAST(MIN(m) AS BIGINT) AS component FROM reach GROUP BY n""".stripMargin,
+
+    "g_bfs" ->
+      s"""WITH RECURSIVE $GraphCte,
+         |startv AS (SELECT MIN(id) AS s FROM verts),
+         |walk(n, d) AS (
+         |  SELECT s, 0 FROM startv
+         |  UNION
+         |  SELECT e.dst, w.d + 1 FROM edges e JOIN walk w ON e.src = w.n
+         |  WHERE w.d < 64)
+         |SELECT n AS id, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY n""".stripMargin,
+
+    "g_pagerank" -> pagerankSql(10),
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_topk_prefix" ->
+      """SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'sma%'
+        |ORDER BY p_name, p_partkey LIMIT 10""".stripMargin,
+
+    "q_point" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42",
+
+    "q_stats_events" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS runs,
+        |  ROUND(MIN(value), 6) AS vmin, ROUND(MAX(value), 6) AS vmax,
+        |  ROUND(AVG(value), 4) AS vmean, ROUND(STDDEV_SAMP(value), 4) AS vstddev
+        |FROM events""".stripMargin,
+
+    "q_window_events" ->
+      """SELECT user_id, event_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
+        |FROM events
+        |QUALIFY rn <= 3""".stripMargin,
+
+    "d_exact" ->
+      """WITH digests AS (
+        |  SELECT doc_id AS id,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
+        |  FROM documents)
+        |SELECT d.id, c.canonical_id FROM digests d
+        |JOIN (SELECT digest, MIN(id) AS canonical_id FROM digests GROUP BY 1) c
+        |  ON d.digest = c.digest""".stripMargin,
+
+    "d_jaccard" -> JaccardPairsSql,
+
+    "d_minhash_sig" ->
+      s"""WITH $ShinglesCte,
+         |$MinhashSigCte
+         |SELECT * FROM sigs""".stripMargin,
+
+    "d_minhash_lsh" ->
+      s"""WITH $ShinglesCte,
+         |$MinhashSigCte,
+         |cands AS (
+         |  SELECT DISTINCT s1.id AS a, s2.id AS b
+         |  FROM sigs s1 JOIN sigs s2 ON s1.id < s2.id AND (
+         |    (s1.m0 = s2.m0 AND s1.m1 = s2.m1) OR
+         |    (s1.m2 = s2.m2 AND s1.m3 = s2.m3) OR
+         |    (s1.m4 = s2.m4 AND s1.m5 = s2.m5) OR
+         |    (s1.m6 = s2.m6 AND s1.m7 = s2.m7))),
+         |common AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS DOUBLE) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS sz FROM sh GROUP BY 1),
+         |jacc AS (
+         |  SELECT c.a, c.b FROM common c
+         |  JOIN sizes sa ON c.a = sa.doc_id
+         |  JOIN sizes sb ON c.b = sb.doc_id
+         |  WHERE c.common / (sa.sz + sb.sz - c.common) >= 0.5)
+         |SELECT a, b FROM cands INTERSECT SELECT a, b FROM jacc""".stripMargin,
+
+    "t_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS tc,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    regexp_split_to_array(trim(text), '\s+'),
+        |    t -> CAST(ceil(length(t) / 4.0) AS INT))), 0) AS INT) AS tc_bpe
+        |FROM documents""".stripMargin,
+
+    "t_quality" ->
+      """SELECT doc_id, ROUND(
+        |  CAST(length(text) BETWEEN 50 AND 20000 AS DOUBLE) * 0.5
+        |  + LEAST(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','on','for','with')))
+        |      AS DOUBLE), 5.0) / 5.0 * 0.3
+        |  + CAST(CAST(length(text) - length(translate(text, '.,!?;:', '')) AS DOUBLE)
+        |         <= CAST(length(text) AS DOUBLE) * 0.1 AS DOUBLE) * 0.2
+        |, 2) AS quality
+        |FROM documents""".stripMargin,
+
+    "t_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |markers(m_lang, m_tok) AS (VALUES
+        |  ('en','the'),('en','and'),('en','of'),('en','is'),('en','with'),
+        |  ('de','der'),('de','und'),('de','das'),('de','ist'),('de','mit'),
+        |  ('fr','le'),('fr','et'),('fr','les'),('fr','est'),('fr','avec'),
+        |  ('es','el'),('es','y'),('es','los'),('es','es'),('es','con'),
+        |  ('fi','ja'),('fi','on'),('fi','se'),('fi','ei'),('fi','että')),
+        |hits AS (SELECT doc_id, m_lang, COUNT(*) AS h FROM toks
+        |         JOIN markers ON tok = m_tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, m_lang FROM hits
+        |        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                   ORDER BY h DESC, m_lang) = 1)
+        |SELECT d.doc_id, COALESCE(t.m_lang, 'und') AS lang_pred
+        |FROM documents d LEFT JOIN top t ON d.doc_id = t.doc_id""".stripMargin,
+
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "s_ann_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        |scored AS (
+        |  SELECT q.vec_id AS q, e.vec_id AS neighbor,
+        |         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> q.vec_id)
+        |SELECT q, CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INT) AS rank,
+        |       neighbor, cos
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
+
+    "s_neardup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45""".stripMargin,
+
+    "m_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(64 + (doc_id % 8) * 16 AS INT) AS width,
+        |  CAST(64 + (doc_id % 5) * 16 AS INT) AS height
+        |FROM documents""".stripMargin)
 }

@@ -96,6 +96,60 @@ object PageRank {
     Result(ranks, metrics.toSeq, iter)
   }
 
+  /**
+   * Resumable fixed-iteration PageRank: every superstep's ranks are committed
+   * through [[graft.state.Supersteps]]; on start the loop continues from the
+   * last committed superstep (kill the JVM at any point, re-run, get the
+   * byte-identical final state — each superstep consumes the COMMITTED bytes
+   * of the previous one, so the recomputation is exact).
+   */
+  def runResumable(
+      vertices: DataFrame,
+      edges: Dataset[Edge],
+      log: graft.state.Supersteps,
+      damping: Double = 0.85,
+      maxIter: Int = 10): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val verts = vertices.select(col(vertices.columns.head).as("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    val edgeCount = edges.count()
+    val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val edgesW = edges.join(outDeg, "src")
+      .select($"src", $"dst", (lit(1.0) / $"deg").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dangling = verts.join(edges.select($"src".as("id")).distinct(),
+      Seq("id"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+
+    var iter = log.lastCompleted.getOrElse(-1)
+    var ranks =
+      if (iter < 0) {
+        val init = verts.withColumn("rank", lit(1.0 / n))
+        iter = 0
+        log.commit(0, init, SuperstepMetric("pagerank", 0, n, 0L, 0L, -1.0))
+      } else log.readState()
+    val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
+    while (iter < maxIter) {
+      val t0 = System.nanoTime()
+      val danglingMass = ranks.join(dangling, "id")
+        .agg(coalesce(sum($"rank"), lit(0.0))).as[Double].head()
+      val contribs = ranks.join(edgesW, ranks("id") === edgesW("src"))
+        .groupBy($"dst".as("id"))
+        .agg(sum($"rank" * $"w").as("contrib"))
+      val base = (1.0 - damping) / n + damping * danglingMass / n
+      val newRanks = verts.join(contribs, Seq("id"), "left")
+        .select($"id",
+          (lit(base) + lit(damping) * coalesce($"contrib", lit(0.0))).as("rank"))
+      iter += 1
+      val m = SuperstepMetric("pagerank", iter, n, edgeCount,
+        (System.nanoTime() - t0) / 1000000L, -1.0)
+      ranks = log.commit(iter, newRanks, m)
+      metrics += m
+    }
+    Result(ranks, metrics.toSeq, iter)
+  }
+
   /** In-driver dense power iteration — the frozen oracle for allclose-1e-6
     * verification (FIXTURES.md §4; the reference has no PageRank, so this
     * IS the normative semantics). Same convention as [[run]], exactly. */

@@ -1,0 +1,65 @@
+package graft.state
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.algo.SuperstepMetric
+import graft.tables.IcebergLite
+
+/**
+ * Table-backed superstep state: every iteration of an iterative algorithm
+ * commits its state to an Iceberg-lite table snapshot together with a
+ * lineage/metrics record, so a killed job resumes from the last committed
+ * superstep (the north rule's resumability requirement). Writing state out
+ * each superstep ALSO truncates plan lineage — at scale this replaces
+ * `localCheckpoint` (SURVEY.md §4 "iteration lineage control").
+ *
+ * Layout: one Iceberg-lite table `<algo>_state` whose snapshot N carries
+ * superstep N's state; metrics live in the snapshot properties (superstep,
+ * rowsOut, edgesProcessed, wallMs, delta) and per-partition row counts in
+ * the snapshot's partitionRows — the "(algo, superstep, partitionId, rows,
+ * ...)" lineage of SURVEY.md §7.1 M5.
+ */
+class Supersteps(root: String, algo: String, spark: SparkSession) {
+
+  private val tables = new IcebergLite(root)
+  private val stateTable = s"${algo}_state"
+
+  /** Last committed superstep, if any. */
+  def lastCompleted: Option[Int] =
+    tables.currentSnapshot(stateTable)
+      .map(_.properties("superstep").toInt)
+
+  /** State as committed at `superstep` (defaults to the latest). */
+  def readState(superstep: Int = -1): DataFrame = {
+    if (superstep < 0) tables.read(spark, stateTable)
+    else {
+      val snap = tables.snapshots(stateTable)
+        .find(_.properties("superstep").toInt == superstep)
+        .getOrElse(sys.error(s"superstep $superstep not committed for $algo"))
+      tables.read(spark, stateTable, snap.snapshotId)
+    }
+  }
+
+  /** Commit one superstep's state + metrics; returns the re-read state (the
+    * caller continues from the COMMITTED bytes, so resumed and uninterrupted
+    * runs see identical inputs). */
+  def commit(superstep: Int, state: DataFrame, m: SuperstepMetric): DataFrame = {
+    tables.commit(state, stateTable, Map(
+      "algo" -> algo,
+      "superstep" -> superstep.toString,
+      "rowsOut" -> m.rowsOut.toString,
+      "edgesProcessed" -> m.edgesProcessed.toString,
+      "wallMs" -> m.wallMs.toString,
+      "delta" -> m.delta.toString))
+    tables.read(spark, stateTable)
+  }
+
+  /** Full lineage log: one row per committed superstep. */
+  def lineage: Seq[Map[String, String]] =
+    tables.snapshots(stateTable).map { s =>
+      s.properties ++ Map(
+        "snapshotId" -> s.snapshotId.toString,
+        "rowCount" -> s.rowCount.toString,
+        "partitions" -> s.partitionRows.size.toString)
+    }
+}

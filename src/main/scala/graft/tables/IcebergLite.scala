@@ -1,0 +1,181 @@
+package graft.tables
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One committed snapshot of a table. */
+case class Snapshot(
+    snapshotId: Long,
+    parentId: Long,              // -1 = none
+    files: Seq[String],          // data files, relative to the table root
+    rowCount: Long,
+    partitionRows: Map[Int, Long], // per-output-partition row counts (lineage)
+    properties: Map[String, String])
+
+/**
+ * Iceberg-lite: partitioned-Parquet tables with an atomic JSON snapshot log
+ * (SURVEY.md §7 — no Iceberg runtime ships in /opt/spark/jars, so we emulate
+ * the semantics the north rule actually uses: committed snapshots, time
+ * travel, per-partition lineage records, resumable readers).
+ *
+ * Layout:  <root>/<table>/data/s<snapshotId>/part-*.parquet
+ *          <root>/<table>/snapshots/v<snapshotId>.json     (atomic rename)
+ *          <root>/<table>/snapshots/CURRENT                (atomic rename)
+ *
+ * Commit protocol: write data files → write snapshot json to a temp name →
+ * atomic rename json → atomic rename CURRENT pointer. A reader either sees
+ * the previous CURRENT or the new one, never a torn state. On a real object
+ * store the renames become a metastore swap; the call sites don't change.
+ *
+ * JSON is hand-rolled (flat schema, no nested user data) because no JSON
+ * library is on the classpath; Spark's own jackson is deliberately not
+ * touched (shaded versions vary).
+ */
+class IcebergLite(rootDir: String) {
+
+  private def tableDir(table: String): Path = Paths.get(rootDir, table)
+  private def snapDir(table: String): Path = tableDir(table).resolve("snapshots")
+  private def dataDir(table: String, sid: Long): Path =
+    tableDir(table).resolve("data").resolve(s"s$sid")
+
+  /** Commit `df` as the next snapshot of `table`. Returns the snapshot. */
+  def commit(df: DataFrame, table: String,
+      properties: Map[String, String] = Map.empty): Snapshot = {
+    val parent = currentSnapshot(table).map(_.snapshotId).getOrElse(-1L)
+    val sid = parent + 1
+    val dd = dataDir(table, sid)
+    Files.createDirectories(dd.getParent)
+    df.write.mode("overwrite").parquet(dd.toString)
+    val files = Files.list(dd).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => tableDir(table).relativize(p).toString).toSeq.sorted
+    // per-partition lineage: rows per written file (file = output partition)
+    val spark = df.sparkSession
+    val partRows: Map[Int, Long] = files.zipWithIndex.map { case (f, i) =>
+      i -> spark.read.parquet(tableDir(table).resolve(f).toString).count()
+    }.toMap
+    val snap = Snapshot(sid, parent, files, partRows.values.sum, partRows, properties)
+    writeSnapshot(table, snap)
+    snap
+  }
+
+  /** Read a table at its current (or an explicit) snapshot. */
+  def read(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
+    val snap =
+      if (snapshotId >= 0) readSnapshot(table, snapshotId)
+        .getOrElse(sys.error(s"no snapshot $snapshotId for $table"))
+      else currentSnapshot(table)
+        .getOrElse(sys.error(s"table $table has no snapshots"))
+    val paths = snap.files.map(f => tableDir(table).resolve(f).toString)
+    spark.read.parquet(paths: _*)
+  }
+
+  def currentSnapshot(table: String): Option[Snapshot] = {
+    val cur = snapDir(table).resolve("CURRENT")
+    if (!Files.exists(cur)) None
+    else readSnapshot(table,
+      new String(Files.readAllBytes(cur), StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  def snapshots(table: String): Seq[Snapshot] = {
+    val sd = snapDir(table)
+    if (!Files.exists(sd)) Nil
+    else Files.list(sd).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .map(p => p.getFileName.toString.drop(1).dropRight(5).toLong)
+      .toSeq.sorted.flatMap(readSnapshot(table, _))
+  }
+
+  // --------------------------------------------------------------------------
+  // snapshot json (flat, hand-rolled)
+  // --------------------------------------------------------------------------
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def writeSnapshot(table: String, s: Snapshot): Unit = {
+    val sd = snapDir(table)
+    Files.createDirectories(sd)
+    val json = new StringBuilder
+    json ++= "{"
+    json ++= s""""snapshotId": ${s.snapshotId}, "parentId": ${s.parentId}, """
+    json ++= s""""rowCount": ${s.rowCount}, """
+    json ++= s""""files": [${s.files.map(f => "\"" + esc(f) + "\"").mkString(", ")}], """
+    json ++= s""""partitionRows": {${s.partitionRows.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\": " + v }.mkString(", ")}}, """
+    json ++= s""""properties": {${s.properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + esc(k) + "\": \"" + esc(v) + "\"" }.mkString(", ")}}"""
+    json ++= "}"
+    val tmp = sd.resolve(s".v${s.snapshotId}.json.tmp")
+    Files.write(tmp, json.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, sd.resolve(s"v${s.snapshotId}.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val curTmp = sd.resolve(".CURRENT.tmp")
+    Files.write(curTmp, s.snapshotId.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(curTmp, sd.resolve("CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readSnapshot(table: String, sid: Long): Option[Snapshot] = {
+    val p = snapDir(table).resolve(s"v$sid.json")
+    if (!Files.exists(p)) return None
+    val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    Some(Snapshot(
+      snapshotId = longField(json, "snapshotId"),
+      parentId = longField(json, "parentId"),
+      files = arrayField(json, "files"),
+      rowCount = longField(json, "rowCount"),
+      partitionRows = objField(json, "partitionRows")
+        .map { case (k, v) => k.toInt -> v.toLong },
+      properties = objField(json, "properties")))
+  }
+
+  // minimal parsers for our own flat emitter (keys never contain escapes)
+  private def longField(json: String, key: String): Long =
+    ("\"" + key + "\": (-?\\d+)").r.findFirstMatchIn(json).get.group(1).toLong
+
+  private def arrayField(json: String, key: String): Seq[String] = {
+    val body = ("\"" + key + "\": \\[(.*?)\\]").r
+      .findFirstMatchIn(json).get.group(1)
+    if (body.trim.isEmpty) Nil
+    else "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body)
+      .map(m => unesc(m.group(1))).toSeq
+  }
+
+  private def objField(json: String, key: String): Map[String, String] = {
+    val body = ("\"" + key + "\": \\{(.*?)\\}").r
+      .findFirstMatchIn(json).get.group(1)
+    "\"((?:[^\"\\\\]|\\\\.)*)\": (?:\"((?:[^\"\\\\]|\\\\.)*)\"|(-?\\d+))".r
+      .findAllMatchIn(body)
+      .map(m => unesc(m.group(1)) ->
+        (if (m.group(2) != null) unesc(m.group(2)) else m.group(3)))
+      .toMap
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,88 @@
+package graft.state
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.algo.{PageRank, SuperstepMetric}
+import graft.graph.Edge
+import graft.tables.IcebergLite
+
+class StateSpec extends SparkTestBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-state").toString
+
+  test("IcebergLite: commit, read-back, snapshot log, time travel, lineage") {
+    import spark.implicits._
+    val root = tmp()
+    val t = new IcebergLite(root)
+    val s1 = t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "demo",
+      Map("note" -> "first"))
+    assert(s1.snapshotId == 0 && s1.parentId == -1 && s1.rowCount == 2)
+    val s2 = t.commit(Seq((3L, "c")).toDF("id", "v"), "demo")
+    assert(s2.snapshotId == 1 && s2.parentId == 0)
+    // current = latest
+    assert(t.read(spark, "demo").as[(Long, String)].collect().toSet == Set((3L, "c")))
+    // time travel to snapshot 0
+    assert(t.read(spark, "demo", 0).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    val snaps = t.snapshots("demo")
+    assert(snaps.map(_.snapshotId) == Seq(0L, 1L))
+    assert(snaps.head.properties("note") == "first")
+    assert(snaps.head.partitionRows.values.sum == 2)
+  }
+
+  test("IcebergLite: json escaping round-trips hostile property values") {
+    import spark.implicits._
+    val t = new IcebergLite(tmp())
+    val hostile = "a\"b\\c\nd\tef"
+    t.commit(Seq(1L).toDF("id"), "esc", Map("k" -> hostile))
+    assert(t.currentSnapshot("esc").get.properties("k") == hostile)
+  }
+
+  test("resume: killed-after-k PageRank equals uninterrupted run byte-for-byte") {
+    import spark.implicits._
+    val rng = new java.util.Random(31)
+    val edges = (0 until 400).map(_ => (rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val eds = spark.createDataset(edges.map(e => Edge(e._1, e._2)))
+    val verts = spark.range(80).toDF("id")
+
+    // uninterrupted: 8 supersteps in one go
+    val rootA = tmp()
+    val full = PageRank.runResumable(verts, eds,
+      new Supersteps(rootA, "pagerank", spark), maxIter = 8)
+
+    // interrupted: run to 3, then a NEW Supersteps instance (fresh "JVM")
+    val rootB = tmp()
+    PageRank.runResumable(verts, eds,
+      new Supersteps(rootB, "pagerank", spark), maxIter = 3)
+    val logB2 = new Supersteps(rootB, "pagerank", spark)
+    assert(logB2.lastCompleted.contains(3))
+    val resumed = PageRank.runResumable(verts, eds, logB2, maxIter = 8)
+
+    val a = full.ranks.as[(Long, Double)].collect().sortBy(_._1)
+    val b = resumed.ranks.as[(Long, Double)].collect().sortBy(_._1)
+    assert(a.length == b.length)
+    for (((ia, ra), (ib, rb)) <- a.zip(b)) {
+      assert(ia == ib)
+      assert(java.lang.Double.doubleToLongBits(ra) ==
+             java.lang.Double.doubleToLongBits(rb), s"vertex $ia: $ra vs $rb")
+    }
+    // lineage carries every superstep with metrics
+    val lin = logB2.lineage
+    assert(lin.map(_("superstep").toInt) == (0 to 8))
+    assert(lin.tail.forall(_("edgesProcessed").toLong == edges.size.toLong))
+  }
+
+  test("Supersteps: readState time-travels to a specific superstep") {
+    import spark.implicits._
+    val log = new Supersteps(tmp(), "demo", spark)
+    log.commit(0, Seq((1L, 0.5)).toDF("id", "rank"),
+      SuperstepMetric("demo", 0, 1, 0, 0, -1))
+    log.commit(1, Seq((1L, 0.7)).toDF("id", "rank"),
+      SuperstepMetric("demo", 1, 1, 0, 0, -1))
+    assert(log.readState(0).as[(Long, Double)].head() == ((1L, 0.5)))
+    assert(log.readState(1).as[(Long, Double)].head() == ((1L, 0.7)))
+  }
+}
