@@ -56,16 +56,21 @@ object PageRank {
     require(n > 0, "empty vertex set")
     val edgeCount = edges.count()
 
-    // one-time: per-source weight = 1/outdeg, attached to each edge
+    // one-time: per-source weight = 1/outdeg, attached to each edge;
+    // pre-partitioned by src so the per-superstep join only shuffles the
+    // (n-row) rank side, never the (m-row) edge side
     val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val edgesW = edges.join(outDeg, "src")
       .select($"src", $"dst", (lit(1.0) / $"deg").as("w"))
+      .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesW.count()
-    // dangling vertices: no out-edges; their mass redistributes uniformly
+    // dangling vertices: no out-edges; their mass redistributes uniformly.
+    // On graphs with none (common after dangling-link elimination) the whole
+    // per-superstep mass job is skipped.
     val dangling = verts.join(edges.select($"src".as("id")).distinct(),
       Seq("id"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
-    dangling.count()
+    val danglingCount = dangling.count()
 
     var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
@@ -73,8 +78,10 @@ object PageRank {
     var delta = Double.MaxValue
     while (iter < maxIter && (tol <= 0.0 || delta > tol)) {
       val t0 = System.nanoTime()
-      val danglingMass = ranks.join(dangling, "id")
-        .agg(coalesce(sum($"rank"), lit(0.0))).as[Double].head()
+      val danglingMass =
+        if (danglingCount == 0) 0.0
+        else ranks.join(dangling, "id")
+          .agg(coalesce(sum($"rank"), lit(0.0))).as[Double].head()
       val contribs = ranks.join(edgesW, ranks("id") === edgesW("src"))
         .groupBy($"dst".as("id"))
         .agg(sum($"rank" * $"w").as("contrib"))
