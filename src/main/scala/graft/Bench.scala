@@ -38,35 +38,46 @@ object Bench {
   }
 
   /** PageRank steady-state superstep throughput (edges/sec) at a given core
-    * count: distinct-edge count × supersteps / Σ superstep wall time (setup
-    * — edge gen, weight join, persist — excluded; it is one-time cost). */
+    * count: distinct edges / MEDIAN superstep wall time. Setup (edge gen,
+    * weight join, persist) is one-time cost and excluded; a small-graph
+    * warmup run absorbs JIT compilation without polluting the block manager
+    * with a second full-size cached copy. */
   private def pagerankThroughput(cores: Int, vertices: Long, edgeCount: Long,
       iters: Int): Double = {
     val spark = session(cores)
     try {
       import spark.implicits._
+      val wEdges = SynthGraph.edges(spark, vertices / 16, edgeCount / 16, seed = 7L)
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      PageRank.run(spark.range(vertices / 16).toDF("id"), wEdges, tol = 0.0, maxIter = 2)
+      wEdges.unpersist()
       val edges = SynthGraph.edges(spark, vertices, edgeCount)
         .distinct().persist(StorageLevel.MEMORY_AND_DISK)
       val e = edges.count() // materialize outside the timed region
       val verts = spark.range(vertices).toDF("id")
       val res = PageRank.run(verts, edges, tol = 0.0, maxIter = iters)
-      val superstepSecs = res.metrics.map(_.wallMs).sum / 1e3
+      val stepSecs = res.metrics.map(_.wallMs / 1e3).sorted
       edges.unpersist()
-      e.toDouble * iters / superstepSecs
+      e.toDouble / stepSecs(stepSecs.size / 2)
     } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val small = math.max(cpus / 4, 1)
 
-    // --- scaling evidence: same job, same input, N vs 4N cores ---
+    // --- scaling evidence: same job, same input, N vs 4N cores.
+    // Pair = local[2] vs local[8] (BASELINE.md sandbox protocol): on this
+    // 32-vCPU single box, local[32] conflates executor threads with the
+    // driver/scheduler and the shared memory subsystem, so the clean
+    // multi-executor proxy is the pair that leaves the machine unsaturated.
     val vertices = 1000000L
     val edgeCount = 16000000L
-    val iters = 5
-    val thrN = pagerankThroughput(small, vertices, edgeCount, iters)
-    val thr4N = pagerankThroughput(cpus, vertices, edgeCount, iters)
+    val iters = 6
+    val coresN = 2
+    val cores4N = 8
+    val thrN = pagerankThroughput(coresN, vertices, edgeCount, iters)
+    val thr4N = pagerankThroughput(cores4N, vertices, edgeCount, iters)
     val efficiency = thr4N / (4.0 * thrN)
 
     // --- headline queries + route latency at full cores ---
@@ -105,7 +116,7 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      f""""scaling":{"cores_n":$small,"cores_4n":$cpus,"vertices":$vertices,"edges":${edgeCount},""" +
+      f""""scaling":{"cores_n":$coresN,"cores_4n":$cores4N,"vertices":$vertices,"edges":${edgeCount},""" +
       f""""supersteps":$iters,"throughput_n":$thrN%.0f,"throughput_4n":$thr4N%.0f,""" +
       f""""unit":"edges/sec/superstep","efficiency":$efficiency%.3f},""" +
       f""""route_ms":{"runs":${routeMs.size},"min":${routeMs.min}%.1f,"max":${routeMs.max}%.1f,""" +

@@ -19,6 +19,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // local mode: shuffle files on tmpfs — one box has no per-node disks,
+      // so keep shuffle I/O off the root device (a real cluster would use
+      // per-executor local SSDs)
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+        else System.getProperty("java.io.tmpdir"))
   }
 
   def get(cores: Int = 32): SparkSession = {

@@ -100,6 +100,11 @@ object PageRank {
       metrics += SuperstepMetric("pagerank", iter, n, edgeCount,
         (System.nanoTime() - t0) / 1000000L, if (tol > 0.0) delta else -1.0)
     }
+    // release loop-scoped caches (ranks is localCheckpoint-ed, independent);
+    // leaked caches otherwise evict-churn the NEXT job's working set
+    edgesW.unpersist()
+    dangling.unpersist()
+    verts.unpersist()
     Result(ranks, metrics.toSeq, iter)
   }
 
