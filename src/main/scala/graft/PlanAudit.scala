@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-quality audit: prints physical plans for representative queries so
+  * pushdown / broadcast / shuffle placement can be reviewed per round
+  * (`runMain graft.PlanAudit [sfDir]`). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.get(8)
+    import spark.implicits._
+
+    def show(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n===== $name =====")
+      println(df.queryExecution.executedPlan.toString.linesIterator.take(40).mkString("\n"))
+    }
+
+    // point lookup: expect PushedFilters on the parquet scan + pruned schema
+    show("point-lookup")(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .filter($"c_custkey" === 42L).select($"c_custkey", $"c_name"))
+
+    // prefix top-K: expect TakeOrderedAndProject, StartsWith pushed
+    show("prefix-topk")(
+      spark.read.parquet(s"$dir/part.parquet")
+        .filter($"p_name".startsWith("sma")).orderBy($"p_name").limit(10))
+
+    // derived-edge aggregation: expect partial HashAggregate before exchange
+    show("degree-agg")(
+      graft.graph.EdgeTable.degrees(SparkEntry.derivedEdges(spark, dir), "dst"))
+
+    // join: expect broadcast of the small dimension side
+    show("join-revenue")(SparkEntry.queries("q_join_revenue")(spark, dir))
+
+    spark.stop()
+  }
+}
