@@ -53,7 +53,14 @@ object GraphBuilder {
   /** Max redirect-chain length chased before declaring a cycle. */
   val MaxChain = 32
 
-  def build(raw: DataFrame, smallIds: Boolean = false): LinkGraph = {
+  /**
+   * @param pageFilter predicate over the raw columns, applied before
+   *        extraction — the analog of the reference's main-namespace filter
+   *        (`WikiProcessor.kt:44`, P1), e.g. `$"lang" === "en"` or a
+   *        content-type rule. Pushed into the scan by Catalyst.
+   */
+  def build(raw: DataFrame, smallIds: Boolean = false,
+      pageFilter: org.apache.spark.sql.Column = lit(true)): LinkGraph = {
     val spark = raw.sparkSession
     import spark.implicits._
 
@@ -61,6 +68,7 @@ object GraphBuilder {
     //    Duplicate urls (re-crawls) resolved to the latest warc_ts
     //    deterministically (ties broken by html hash).
     val extracted = raw
+      .filter(pageFilter)
       .select(
         normalize_url($"url").as("url"),
         $"warc_ts",
