@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.{GraphBuilder, GraphTables}
+import graft.ingest.SynthCorpus
+import graft.query.{Lookups, MissingEnd, MissingStart, Routes}
+
+/**
+ * Command-line surface mirroring the reference's `Main.kt` subcommands so a
+ * wikilinks user can switch 1:1:
+ *
+ *   convert  --input <pages_raw parquet dir|synth:N> --output <warehouse>
+ *            (reference: dump → graph snapshot, `Main.kt:60-102`)
+ *   query    --input <warehouse> [--from URL --to URL]
+ *            (reference: interactive shortest path, `Main.kt:104-131`;
+ *             non-interactive here: one route per invocation)
+ *   benchmark --input <warehouse> [--measurements N]
+ *            (reference: `query --benchmark`, 50 seeded pairs,
+ *             `Main.kt:32,341-384`)
+ *   search   --input <warehouse> --prefix P [--limit K]
+ *            (reference: wildcard lookup, `Main.kt:323`)
+ */
+object Cli {
+
+  private def arg(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(s"--$name")
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    try {
+      args.headOption match {
+        case Some("convert") =>
+          val input = arg(args, "input").getOrElse("synth:2000")
+          val output = arg(args, "output").getOrElse(sys.error("--output required"))
+          val raw =
+            if (input.startsWith("synth:"))
+              SynthCorpus.generate(spark, input.stripPrefix("synth:").toLong).toDF()
+            else spark.read.parquet(input)
+          val t0 = System.nanoTime()
+          val graph = GraphBuilder.build(raw)
+          GraphTables.build(graph, output, buildId = s"convert-${raw.count()}")
+          val b = graph.statsBefore; val a = graph.statsAfter
+          println(f"Converted in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          println(s"Before cleanup: articles=${b.articleCount} redirects=${b.redirectCount} links=${b.linkCount}")
+          println(f"After cleanup:  articles=${a.articleCount} redirects=${a.redirectCount} links=${a.linkCount} dangling=${a.nullLinkCount} links/article=${a.linksPerArticle}%.2f")
+
+        case Some("query") =>
+          val wh = arg(args, "input").getOrElse(sys.error("--input required"))
+          val from = arg(args, "from").getOrElse(sys.error("--from required"))
+          val to = arg(args, "to").getOrElse(sys.error("--to required"))
+          val routes = new Routes(GraphTables.open(spark, wh))
+          val t0 = System.nanoTime()
+          try {
+            val route = routes.findRoute(from, to)
+            val ms = (System.nanoTime() - t0) / 1e6
+            if (route.isEmpty)
+              println(f"""No route found from "$from" to "$to" (in $ms%.0f ms)""")
+            else
+              println(f"""Route: ${route.map("\"" + _ + "\"").mkString(" -> ")} (in $ms%.0f ms)""")
+          } catch {
+            case MissingStart(u) => println(s"""Start page "$u" does not exist""")
+            case MissingEnd(u) => println(s"""End page "$u" does not exist""")
+          }
+
+        case Some("benchmark") =>
+          val wh = arg(args, "input").getOrElse(sys.error("--input required"))
+          val n = arg(args, "measurements").map(_.toInt).getOrElse(50)
+          val routes = new Routes(GraphTables.open(spark, wh))
+          routes.pages.count(); routes.edgesOut.count(); routes.edgesIn.count()
+          val rng = new java.util.Random(0xcafebabeL) // Benchmarking.java:15
+          val times = (0 until n).map { _ =>
+            val a = Lookups.randomPage(routes.pages, rng.nextLong()).get.url
+            val b = Lookups.randomPage(routes.pages, rng.nextLong()).get.url
+            val t0 = System.nanoTime()
+            routes.findRoute(a, b)
+            (System.nanoTime() - t0) / 1e6
+          }
+          val mean = times.sum / times.size
+          val std = math.sqrt(times.map(t => (t - mean) * (t - mean)).sum /
+            math.max(times.size - 1, 1))
+          println(f"Runs=${times.size} Min=${times.min}%.1f Max=${times.max}%.1f " +
+            f"Mean=$mean%.1f StdDev=$std%.1f Sum=${times.sum}%.1f (ms)")
+
+        case Some("search") =>
+          val wh = arg(args, "input").getOrElse(sys.error("--input required"))
+          val prefix = arg(args, "prefix").getOrElse("")
+          val k = arg(args, "limit").map(_.toInt).getOrElse(10)
+          val routes = new Routes(GraphTables.open(spark, wh))
+          Lookups.prefixTopK(routes.pages, prefix, k).foreach(p =>
+            println(s"${p.id}\t${p.url}${if (p.isRedirect) "\t(redirect)" else ""}"))
+
+        case other =>
+          System.err.println(s"unknown command: ${other.getOrElse("")}")
+          System.err.println("usage: convert|query|benchmark|search --input ... [options]")
+          sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+}

@@ -53,10 +53,14 @@ class IcebergLite(rootDir: String) {
     val files = Files.list(dd).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => tableDir(table).relativize(p).toString).toSeq.sorted
-    // per-partition lineage: rows per written file (file = output partition)
-    val spark = df.sparkSession
+    // per-partition lineage: rows per written file (file = output partition),
+    // read from the parquet FOOTER — metadata-only, no scan jobs
+    val conf = df.sparkSession.sessionState.newHadoopConf()
     val partRows: Map[Int, Long] = files.zipWithIndex.map { case (f, i) =>
-      i -> spark.read.parquet(tableDir(table).resolve(f).toString).count()
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(tableDir(table).resolve(f).toString), conf))
+      try i -> reader.getRecordCount finally reader.close()
     }.toMap
     val snap = Snapshot(sid, parent, files, partRows.values.sum, partRows, properties)
     writeSnapshot(table, snap)
