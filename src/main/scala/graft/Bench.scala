@@ -103,11 +103,20 @@ object Bench {
     val routes = new Routes(graph)
     routes.pages.count(); routes.edgesOut.count(); routes.edgesIn.count()
     val rng = new java.util.Random(0xcafebabeL)
-    val routeMs = (0 until 10).map { _ =>
-      val a = Lookups.randomPage(routes.pages, rng.nextLong()).get.url
-      val b = Lookups.randomPage(routes.pages, rng.nextLong()).get.url
+    val pageUrls = routes.pages.orderBy("url").collect().map(_.url)
+    def pair(): (String, String) =
+      (pageUrls(rng.nextInt(pageUrls.length)), pageUrls(rng.nextInt(pageUrls.length)))
+    val warm = pair(); routes.findRoute(warm._1, warm._2) // build adjacency cache
+    val routeMs = (0 until 50).map { _ =>
+      val (a, b) = pair()
       val t0 = System.nanoTime()
-      routes.findRoute(a, b)
+      routes.findRoute(a, b) // interactive path (graph under threshold)
+      (System.nanoTime() - t0) / 1e6
+    }
+    val routeDistMs = (0 until 5).map { _ =>
+      val (a, b) = pair()
+      val t0 = System.nanoTime()
+      routes.findRouteDistributed(a, b)
       (System.nanoTime() - t0) / 1e6
     }
 
@@ -119,8 +128,10 @@ object Bench {
       f""""scaling":{"cores_n":$coresN,"cores_4n":$cores4N,"vertices":$vertices,"edges":${edgeCount},""" +
       f""""supersteps":$iters,"throughput_n":$thrN%.0f,"throughput_4n":$thr4N%.0f,""" +
       f""""unit":"edges/sec/superstep","efficiency":$efficiency%.3f},""" +
-      f""""route_ms":{"runs":${routeMs.size},"min":${routeMs.min}%.1f,"max":${routeMs.max}%.1f,""" +
-      f""""mean":${routeMs.sum / routeMs.size}%.1f},""" +
+      f""""route_ms":{"runs":${routeMs.size},"min":${routeMs.min}%.2f,"max":${routeMs.max}%.2f,""" +
+      f""""mean":${routeMs.sum / routeMs.size}%.2f},""" +
+      f""""route_distributed_ms":{"runs":${routeDistMs.size},"min":${routeDistMs.min}%.1f,""" +
+      f""""max":${routeDistMs.max}%.1f,"mean":${routeDistMs.sum / routeDistMs.size}%.1f},""" +
       f""""etl":{"pages":2000,"seconds":$etlSecs%.1f}}"""
     println(json)
     spark.stop()

@@ -32,11 +32,97 @@ object ConnectedComponents {
     import spark.implicits._
 
     val verts = vertices.select(col(vertices.columns.head).as("id"))
+    val ops = new StarOps(spark)
 
-    def symmetric(e: DataFrame): DataFrame =
+    def signature(e: DataFrame): (Long, Long) = {
+      e.agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .as[(Long, Long)].head()
+    }
+
+    var cur = edges.toDF().select($"src".as("u"), $"dst".as("v"))
+      .filter($"u" =!= $"v").distinct().localCheckpoint(true)
+    var sig = signature(cur)
+    var rounds = 0
+    var converged = false
+    val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
+    while (!converged && rounds < maxRounds) {
+      val t0 = System.nanoTime()
+      val next = ops.smallStar(ops.largeStar(cur)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      cur = next
+      sig = nextSig
+      rounds += 1
+      metrics += SuperstepMetric("cc", rounds, sig._1, sig._1,
+        (System.nanoTime() - t0) / 1000000L, if (converged) 0.0 else 1.0)
+    }
+
+    // stars: every non-root points at its component min; roots + isolated
+    // vertices map to themselves
+    val comp = verts
+      .join(cur.select($"u".as("id"), $"v".as("comp")), Seq("id"), "left")
+      .groupBy($"id")
+      .agg(coalesce(min($"comp"), first($"id")).as("component"))
+    Result(comp, metrics.toSeq, rounds)
+  }
+
+  /**
+   * Resumable variant: each round's evolving edge set is committed through
+   * [[graft.state.Supersteps]] (snapshot properties carry the fixed-point
+   * signature), so a killed job resumes at the last committed round and the
+   * final components are byte-identical to an uninterrupted run.
+   */
+  def runResumable(vertices: DataFrame, edges: Dataset[Edge],
+      log: graft.state.Supersteps, maxRounds: Int = 50): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val verts = vertices.select(col(vertices.columns.head).as("id"))
+
+    def signature(e: DataFrame): (Long, Long) =
+      e.agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .as[(Long, Long)].head()
+
+    var rounds = log.lastCompleted.getOrElse(-1)
+    var cur =
+      if (rounds < 0) {
+        val init = edges.toDF().select($"src".as("u"), $"dst".as("v"))
+          .filter($"u" =!= $"v").distinct()
+        rounds = 0
+        log.commit(0, init, SuperstepMetric("cc", 0, 0L, 0L, 0L, 1.0))
+      } else log.readState()
+    var sig = signature(cur)
+    var converged = log.lineage.lastOption.exists(_("delta") == "0.0")
+    val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
+    val ops = new StarOps(spark)
+    while (!converged && rounds < maxRounds) {
+      val t0 = System.nanoTime()
+      val next = ops.smallStar(ops.largeStar(cur))
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      rounds += 1
+      val m = SuperstepMetric("cc", rounds, sig._1, sig._1,
+        (System.nanoTime() - t0) / 1000000L, if (converged) 0.0 else 1.0)
+      cur = log.commit(rounds, next, m)
+      metrics += m
+    }
+    val comp = verts
+      .join(cur.select($"u".as("id"), $"v".as("comp")), Seq("id"), "left")
+      .groupBy($"id")
+      .agg(coalesce(min($"comp"), first($"id")).as("component"))
+    Result(comp, metrics.toSeq, rounds)
+  }
+
+  /** Star operations shared by run/runResumable. */
+  private[algo] class StarOps(spark: org.apache.spark.sql.SparkSession) {
+    import spark.implicits._
+
+    private def symmetric(e: DataFrame): DataFrame =
       e.union(e.select($"v".as("u"), $"u".as("v"))).filter($"u" =!= $"v").distinct()
 
-    def minOfNbhd(sym: DataFrame): DataFrame =
+    private def minOfNbhd(sym: DataFrame): DataFrame =
       sym.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
 
     def largeStar(e: DataFrame): DataFrame = {
@@ -60,38 +146,6 @@ object ConnectedComponents {
         .filter($"u" =!= $"v")
         .distinct()
     }
-
-    def signature(e: DataFrame): (Long, Long) = {
-      e.agg(count(lit(1)),
-          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
-        .as[(Long, Long)].head()
-    }
-
-    var cur = edges.toDF().select($"src".as("u"), $"dst".as("v"))
-      .filter($"u" =!= $"v").distinct().localCheckpoint(true)
-    var sig = signature(cur)
-    var rounds = 0
-    var converged = false
-    val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
-    while (!converged && rounds < maxRounds) {
-      val t0 = System.nanoTime()
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      val nextSig = signature(next)
-      converged = nextSig == sig
-      cur = next
-      sig = nextSig
-      rounds += 1
-      metrics += SuperstepMetric("cc", rounds, sig._1, sig._1,
-        (System.nanoTime() - t0) / 1000000L, if (converged) 0.0 else 1.0)
-    }
-
-    // stars: every non-root points at its component min; roots + isolated
-    // vertices map to themselves
-    val comp = verts
-      .join(cur.select($"u".as("id"), $"v".as("comp")), Seq("id"), "left")
-      .groupBy($"id")
-      .agg(coalesce(min($"comp"), first($"id")).as("component"))
-    Result(comp, metrics.toSeq, rounds)
   }
 
   /** Driver union-find oracle (FIXTURES.md §4). */

@@ -19,8 +19,17 @@ final case class MissingEnd(url: String) extends RouteError
  *
  * Holds both edge orientations persisted (the reference materializes the
  * transpose eagerly for backward expansion, `WikiRoutes.kt:126-162`).
+ *
+ * Two execution paths, chosen by graph size (the reference is ONLY the
+ * first; we add the second for graphs that don't fit one machine):
+ *  - interactive: edge count ≤ `interactiveMaxEdges` ⇒ collect packed
+ *    adjacency into driver arrays once (the analog of the reference's mmap
+ *    `LeanPageMapper`, `WikiRoutes.kt:106-124`) and answer routes in-memory
+ *    at sub-millisecond superstep cost
+ *  - distributed: Dataset-superstep bidirectional BFS ([[Bfs]])
  */
-class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig) {
+class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig,
+    interactiveMaxEdges: Long = 5000000L) {
 
   val pages: Dataset[Page] =
     graph.pages.persist(StorageLevel.MEMORY_AND_DISK)
@@ -31,11 +40,37 @@ class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig) {
 
   def resolve(url: String): Option[Page] = Lookups.point(pages, url)
 
+  /** Driver-side adjacency cache for the interactive path (built lazily,
+    * once). None when the graph is above the interactive threshold. */
+  private lazy val interactive: Option[InMemoryBfs] = {
+    val e = edgesOut.count()
+    if (e > interactiveMaxEdges) None
+    else Some(InMemoryBfs.fromEdges(
+      edgesOut.collect().map(ed => (ed.src, ed.dst))))
+  }
+
   /** Shortest route as urls, start..end inclusive; empty = no route
     * (distinct from the missing-page errors). */
   @throws[MissingStart]
   @throws[MissingEnd]
   def findRoute(startUrl: String, endUrl: String): Seq[String] = {
+    val start = resolve(startUrl).getOrElse(throw MissingStart(startUrl))
+    val end = resolve(endUrl).getOrElse(throw MissingEnd(endUrl))
+    val ids = interactive match {
+      case Some(mem) => mem.shortestPath(start.id, end.id, tooBig)
+      case None => Bfs.shortestPath(edgesOut, edgesIn, start.id, end.id, tooBig)
+    }
+    ids match {
+      case None => Nil
+      case Some(path) => urlsOf(path)
+    }
+  }
+
+  /** Force the distributed superstep path regardless of graph size (used by
+    * tests to exercise both implementations on the same graph). */
+  @throws[MissingStart]
+  @throws[MissingEnd]
+  def findRouteDistributed(startUrl: String, endUrl: String): Seq[String] = {
     val start = resolve(startUrl).getOrElse(throw MissingStart(startUrl))
     val end = resolve(endUrl).getOrElse(throw MissingEnd(endUrl))
     Bfs.shortestPath(edgesOut, edgesIn, start.id, end.id, tooBig) match {

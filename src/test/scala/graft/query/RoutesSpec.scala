@@ -45,6 +45,26 @@ class RoutesSpec extends SparkTestBase {
     intercept[MissingEnd](r.findRoute(u("Island-A1"), u("Nope")))
   }
 
+  test("interactive and distributed paths return identical routes") {
+    import graft.graph.{Edge, GraphBuilder}
+    // fixture goldens through BOTH paths
+    val r = routesOf(SynthCorpus.viaRedirect)
+    assert(r.findRoute(u("Polska"), u("Baltycke-Morze")) ==
+      r.findRouteDistributed(u("Polska"), u("Baltycke-Morze")))
+    // random graph: same path, not just same length (tie-breaks must align)
+    val corpus = SynthCorpus.generateLocal(150, avgDeg = 4)
+    val routes = new Routes(GraphBuilder.build(
+      SynthCorpus.toDF(spark, corpus).toDF(), smallIds = true))
+    val urls = routes.pages.collect().map(_.url).sorted
+    val rng = new java.util.Random(5)
+    for (_ <- 0 until 5) {
+      val a = urls(rng.nextInt(urls.length))
+      val b = urls(rng.nextInt(urls.length))
+      assert(routes.findRoute(a, b) == routes.findRouteDistributed(a, b),
+        s"paths diverge for $a -> $b")
+    }
+  }
+
   test("lookups: point, prefix top-K, deterministic random (O5-O7)") {
     val r = routesOf(SynthCorpus.direct)
     assert(Lookups.point(r.pages, u("Gdansk")).exists(!_.isRedirect))

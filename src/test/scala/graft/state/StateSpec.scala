@@ -75,6 +75,45 @@ class StateSpec extends SparkTestBase {
     assert(lin.tail.forall(_("edgesProcessed").toLong == edges.size.toLong))
   }
 
+  test("resume: CC and LPA interrupted runs equal uninterrupted runs exactly") {
+    import spark.implicits._
+    import graft.algo.{ConnectedComponents, LabelPropagation}
+    val rng = new java.util.Random(77)
+    val edges = (0 until 150).map(_ => (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val eds = spark.createDataset(edges.map(e => graft.graph.Edge(e._1, e._2)))
+    val verts = spark.range(60).toDF("id")
+
+    // CC: full vs interrupted-at-1-round
+    val ccFull = ConnectedComponents.runResumable(verts, eds,
+      new Supersteps(tmp(), "cc", spark))
+    val ccRoot = tmp()
+    ConnectedComponents.runResumable(verts, eds,
+      new Supersteps(ccRoot, "cc", spark), maxRounds = 1)
+    val ccResumed = ConnectedComponents.runResumable(verts, eds,
+      new Supersteps(ccRoot, "cc", spark))
+    assert(ccFull.components.as[(Long, Long)].collect().sorted.toSeq ==
+      ccResumed.components.as[(Long, Long)].collect().sorted.toSeq)
+    // sanity vs plain run + oracle
+    assert(ccResumed.components.as[(Long, Long)].collect().sorted.toSeq ==
+      ConnectedComponents.run(verts, eds).components
+        .as[(Long, Long)].collect().sorted.toSeq)
+
+    // LPA: full vs interrupted-at-2
+    val lpaFull = LabelPropagation.runResumable(verts, eds,
+      new Supersteps(tmp(), "lpa", spark), maxIter = 6)
+    val lpaRoot = tmp()
+    LabelPropagation.runResumable(verts, eds,
+      new Supersteps(lpaRoot, "lpa", spark), maxIter = 2)
+    val lpaResumed = LabelPropagation.runResumable(verts, eds,
+      new Supersteps(lpaRoot, "lpa", spark), maxIter = 6)
+    assert(lpaFull.labels.as[(Long, Long)].collect().sorted.toSeq ==
+      lpaResumed.labels.as[(Long, Long)].collect().sorted.toSeq)
+    assert(lpaResumed.labels.as[(Long, Long)].collect().sorted.toSeq ==
+      LabelPropagation.run(verts, eds, maxIter = 6).labels
+        .as[(Long, Long)].collect().sorted.toSeq)
+  }
+
   test("Supersteps: readState time-travels to a specific superstep") {
     import spark.implicits._
     val log = new Supersteps(tmp(), "demo", spark)
