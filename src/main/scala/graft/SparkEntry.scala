@@ -220,6 +220,19 @@ object SparkEntry {
         .select($"user_id", $"event_id", $"rn")
     },
 
+    "q_semi_anti" -> { (s, dir) =>
+      // left-semi / left-anti — the engine's dangling-elimination (P6) and
+      // visited-set (§2.7) primitives as a relational query
+      import s.implicits._
+      val cust = tbl(s, dir, "customer")
+      val ord = tbl(s, dir, "orders").select($"o_custkey")
+      val withOrders = cust.join(ord, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", lit(true).as("has_orders"))
+      val withoutOrders = cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", lit(false).as("has_orders"))
+      withOrders.union(withoutOrders)
+    },
+
     // ----- dedup / text / similarity (documents + embeddings) -----
     "d_exact" -> ((s, dir) => Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")),
 
@@ -368,6 +381,11 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
         |FROM events
         |QUALIFY rn <= 3""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey,
+        |  EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+        |FROM customer""".stripMargin,
 
     "d_exact" ->
       """WITH digests AS (

@@ -28,7 +28,17 @@ object Dictionary {
   private val MonoMask = (1L << 33) - 1
 
   /** Scale path. `df` must have unique values in `key`. Appends `id`. */
-  def assignIds(df: DataFrame, key: String, idCol: String = "id"): DataFrame = {
+  def assignIds(df: DataFrame, key: String, idCol: String = "id"): DataFrame =
+    assignIdsWithHandle(df, key, idCol)._1
+
+  /** As [[assignIds]], also returning a release hook that unpersists the
+    * internal cached sort — call it after the OUTPUT has been materialized
+    * (checkpoint/write), or the full keyed table stays cached. Recompute
+    * after release is still id-stable: the range partitioner's sampling
+    * seed is a deterministic function of the RDD, so re-evaluation
+    * reproduces identical bounds and therefore identical ids. */
+  def assignIdsWithHandle(df: DataFrame, key: String, idCol: String = "id")
+      : (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -50,7 +60,7 @@ object Dictionary {
       .join(offsetsDf, "__pid")
       .withColumn(idCol, ($"__mono".bitwiseAND(MonoMask)) + $"__offset")
       .drop("__pid", "__mono", "__offset")
-    out
+    (out, () => { local.unpersist(); () })
   }
 
   /** Test-scale exact variant: `row_number` window (single partition). */

@@ -137,11 +137,14 @@ object GraphBuilder {
     // 3. Node relation + dense ids (sorted-url order).
     val nodes = articles.select($"url", lit(false).as("isRedirect"))
       .union(liveRedirects.select($"url", lit(true).as("isRedirect")))
-    val withIds =
-      (if (smallIds) Dictionary.assignIdsSmall(nodes, "url")
-       else Dictionary.assignIds(nodes, "url"))
+    val (withIds, releaseDict) =
+      if (smallIds) (Dictionary.assignIdsSmall(nodes, "url"), () => ())
+      else Dictionary.assignIdsWithHandle(nodes, "url")
+    // localCheckpoint (not persist): materializes AND severs lineage, so the
+    // dictionary's internal cache can be released immediately
     val pages = withIds.select($"id", $"url", $"isRedirect").as[Page]
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    releaseDict()
 
     // 4. Edge relation: explode article links + redirect single-edges, then
     //    resolve BOTH endpoints against pages (inner join drops dangling, P6).
