@@ -49,20 +49,32 @@ class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig,
       edgesOut.collect().map(ed => (ed.src, ed.dst))))
   }
 
+  /** Driver-side url↔page index for interactive graphs — the analog of the
+    * reference's mmap'd name/id indexes (`SegmentWikiGraphStore.kt:240-258`):
+    * without it every route would pay two distributed point-lookup jobs. */
+  private lazy val urlIndex: Option[(java.util.HashMap[String, Page],
+                                     java.util.HashMap[Long, String])] =
+    interactive.map { _ =>
+      val byUrl = new java.util.HashMap[String, Page]()
+      val byId = new java.util.HashMap[Long, String]()
+      pages.collect().foreach { p => byUrl.put(p.url, p); byId.put(p.id, p.url) }
+      (byUrl, byId)
+    }
+
   /** Shortest route as urls, start..end inclusive; empty = no route
     * (distinct from the missing-page errors). */
   @throws[MissingStart]
   @throws[MissingEnd]
   def findRoute(startUrl: String, endUrl: String): Seq[String] = {
-    val start = resolve(startUrl).getOrElse(throw MissingStart(startUrl))
-    val end = resolve(endUrl).getOrElse(throw MissingEnd(endUrl))
-    val ids = interactive match {
-      case Some(mem) => mem.shortestPath(start.id, end.id, tooBig)
-      case None => Bfs.shortestPath(edgesOut, edgesIn, start.id, end.id, tooBig)
-    }
-    ids match {
-      case None => Nil
-      case Some(path) => urlsOf(path)
+    (interactive, urlIndex) match {
+      case (Some(mem), Some((byUrl, byId))) =>
+        val start = Option(byUrl.get(startUrl)).getOrElse(throw MissingStart(startUrl))
+        val end = Option(byUrl.get(endUrl)).getOrElse(throw MissingEnd(endUrl))
+        mem.shortestPath(start.id, end.id, tooBig) match {
+          case None => Nil
+          case Some(path) => path.map(byId.get(_))
+        }
+      case _ => findRouteDistributed(startUrl, endUrl)
     }
   }
 
