@@ -251,7 +251,8 @@ object SparkEntry {
       import s.implicits._
       tbl(s, dir, "documents").select($"doc_id",
         TextAnalysis.tokenCount($"text").as("tc"),
-        TextAnalysis.tokenCountBpe($"text").as("tc_bpe"))
+        TextAnalysis.tokenCountBpe($"text").as("tc_bpe"),
+        TextAnalysis.tokenCountSubword($"text").as("tc_sub"))
     },
 
     "t_quality" -> { (s, dir) =>
@@ -431,7 +432,10 @@ object SparkEntry {
         |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) END AS tc,
         |  CAST(COALESCE(list_sum(list_transform(
         |    regexp_split_to_array(trim(text), '\s+'),
-        |    t -> CAST(ceil(length(t) / 4.0) AS INT))), 0) AS INT) AS tc_bpe
+        |    t -> CAST(ceil(length(t) / 4.0) AS INT))), 0) AS INT) AS tc_bpe,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+        |    AS INT) AS tc_sub
         |FROM documents""".stripMargin,
 
     "t_quality" ->

@@ -28,6 +28,14 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0),
       (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("int"))
 
+  /** GPT-2-style pre-tokenizer regex (contractions | letter runs | digit
+    * runs | punct runs, optionally space-prefixed) — the "BPE-ish regex"
+    * counter; RE2-compatible so the DuckDB oracle matches exactly. */
+  val SubwordPattern = "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def tokenCountSubword(text: Column): Column =
+    size(regexp_extract_all(text, lit(SubwordPattern), lit(0)))
+
   /** Stopword list frozen for quality scoring + language id. */
   val StopwordsEn: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")

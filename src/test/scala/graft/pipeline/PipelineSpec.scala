@@ -57,6 +57,19 @@ class PipelineSpec extends SparkTestBase {
       assert(got(id) == text.trim.split("\\s+").count(_.nonEmpty), s"doc $id")
   }
 
+  test("subword (BPE-ish regex) counts match java.util.regex on every document") {
+    import spark.implicits._
+    val got = docs.select($"doc_id", TextAnalysis.tokenCountSubword($"text").as("c"))
+      .as[(Long, Int)].collect().toMap
+    val p = java.util.regex.Pattern.compile(TextAnalysis.SubwordPattern)
+    for ((id, text) <- docList) {
+      val m = p.matcher(text)
+      var c = 0
+      while (m.find()) c += 1
+      assert(got(id) == c, s"doc $id")
+    }
+  }
+
   test("exact dedup groups identical normalized texts") {
     import spark.implicits._
     val res = Dedup.exact(docs, "doc_id", "text")
