@@ -97,7 +97,7 @@ object Bench {
 
     // route latency: deterministic corpus + seeded pairs (0xcafebabe,
     // mirroring Benchmarking.java:15)
-    val corpus = SynthCorpus.generate(spark, 2000, avgDeg = 8)
+    val corpus = SynthCorpus.generate(spark, 10000, avgDeg = 8)
     val tEtl0 = System.nanoTime()
     val graph = GraphBuilder.build(corpus.toDF())
     graph.edges.count()
@@ -134,7 +134,7 @@ object Bench {
       f""""mean":${routeMs.sum / routeMs.size}%.2f},""" +
       f""""route_distributed_ms":{"runs":${routeDistMs.size},"min":${routeDistMs.min}%.1f,""" +
       f""""max":${routeDistMs.max}%.1f,"mean":${routeDistMs.sum / routeDistMs.size}%.1f},""" +
-      f""""etl":{"pages":2000,"seconds":$etlSecs%.1f}}"""
+      f""""etl":{"pages":10000,"seconds":$etlSecs%.1f}}"""
     println(json)
     spark.stop()
   }

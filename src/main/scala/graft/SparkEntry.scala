@@ -144,6 +144,15 @@ object SparkEntry {
           coalesce($"in_deg", lit(0L)).as("in_deg"))
     },
 
+    "g_adjacency" -> { (s, dir) =>
+      // CSR pack through the SALTED two-phase path (north-rule skew
+      // handling), string-encoded so the oracle compares exactly
+      import s.implicits._
+      EdgeTable.packAdjacencySalted(derivedEdges(s, dir), saltBuckets = 8)
+        .toDF()
+        .select($"src", concat_ws(",", $"dsts").as("adj"))
+    },
+
     "g_triangles" -> { (s, dir) =>
       import s.implicits._
       val res = TriangleCount.run(derivedVerts(s, dir), derivedEdges(s, dir))
@@ -319,6 +328,11 @@ object SparkEntry {
          |FROM verts v
          |LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o ON v.id = o.src
          |LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) i ON v.id = i.dst""".stripMargin,
+
+    "g_adjacency" ->
+      s"""WITH $GraphCte
+         |SELECT src, array_to_string(list_sort(list(dst)), ',') AS adj
+         |FROM edges GROUP BY src""".stripMargin,
 
     "g_triangles" ->
       s"""WITH $GraphCte,
