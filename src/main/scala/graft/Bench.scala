@@ -26,8 +26,8 @@ object Bench {
 
   /** Representative subset of SparkEntry.queries for per-round timing. */
   private val Headline = Seq(
-    "g_edges", "g_degrees", "g_triangles", "g_cc", "g_bfs", "g_pagerank",
-    "q1_agg", "q_join_revenue", "q_window_events",
+    "g_edges", "g_degrees", "g_adjacency", "g_triangles", "g_cc", "g_bfs",
+    "g_pagerank", "q1_agg", "q_join_revenue", "q_window_events",
     "d_exact", "d_jaccard", "d_minhash_lsh",
     "t_langid", "s_ann_topk", "x_simhash_pairs")
 
@@ -91,7 +91,11 @@ object Bench {
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        // queries are independent; drop their internal persists so one
+        // query's leftover cache can't evict-churn the next
+        spark.catalog.clearCache()
+        name -> secs
       }
     }
 
