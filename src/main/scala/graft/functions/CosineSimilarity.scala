@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.{Column, GraftExpressionBridge, SparkSession}
+
+/**
+ * Native codegen'd cosine similarity over two `array<float>` columns.
+ *
+ * WHY a custom Expression (the one place SURVEY.md §7.3's "built-ins only"
+ * verdict is overridden, per its own revisit clause): the built-in
+ * formulation `aggregate(zip_with(a,b,*),0,+)/…` goes through Catalyst's
+ * higher-order functions, which are CodegenFallback — every row pays
+ * interpreted lambda dispatch plus a materialized zipped array. This
+ * expression is a single fused whole-stage-codegen loop, and it is the hot
+ * inner kernel of brute-force ANN scoring (|corpus| × |queries| evals).
+ *
+ * Math is the EXACT left-fold in double that the portable formulation uses
+ * (`Similarity.cosinePortable`), so results are bit-identical — asserted in
+ * PipelineSpec — and the DuckDB oracles are unaffected.
+ */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity expects (array<float>, array<float>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Column-API binding. */
+  def cosine_similarity(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(CosineSimilarity(
+      GraftExpressionBridge.expression(a),
+      GraftExpressionBridge.expression(b)))
+
+  /** SQL registration: `SELECT cosine_similarity(a, b)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+}

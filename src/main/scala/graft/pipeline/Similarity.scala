@@ -18,8 +18,16 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float-array columns, computed in double.
+    * Native codegen'd kernel ([[graft.functions.CosineSimilarity]]) —
+    * bit-identical to [[cosinePortable]] (same double left-fold), minus the
+    * higher-order-function interpretation overhead in the ANN hot path. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_similarity(a, b)
+
+  /** Built-ins-only formulation (zip_with + aggregate): the portable
+    * reference semantics the native kernel must match exactly. */
+  def cosinePortable(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),

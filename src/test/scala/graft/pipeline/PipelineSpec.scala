@@ -123,6 +123,27 @@ class PipelineSpec extends SparkTestBase {
     assert(got == want) // quarter banding is exact-recall for d<=3 (pigeonhole)
   }
 
+  test("native cosine expression is bit-identical to the portable formulation") {
+    import spark.implicits._
+    val pairs = embs.select($"vec_id".as("a_id"), $"embedding".as("va"))
+      .crossJoin(embs.select($"vec_id".as("b_id"), $"embedding".as("vb")))
+      .filter($"a_id" < $"b_id" && $"a_id" < 30)
+    val diff = pairs.select(
+      Similarity.cosine($"va", $"vb").as("native"),
+      Similarity.cosinePortable($"va", $"vb").as("portable"))
+      .filter($"native" =!= $"portable")
+      .count()
+    assert(diff == 0L)
+    // and against the driver oracle, exact
+    val one = embs.filter($"vec_id".isin(0L, 1L))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    val gotOne = embs.filter($"vec_id" === 0L)
+      .crossJoin(embs.filter($"vec_id" === 1L).select($"embedding".as("e2")))
+      .select(Similarity.cosine($"embedding", $"e2")).as[Double].head()
+    assert(gotOne == oracleCos(one(0)._2, one(1)._2))
+  }
+
   test("brute-force cosine top-k matches driver oracle") {
     import spark.implicits._
     val queries = Seq(0L, 1L, 2L)
