@@ -74,10 +74,12 @@ object Similarity {
     import spark.implicits._
     val dim = vectors.select(size(col(vecCol))).first().getInt(0)
     val planeCols = (0 until planes).map { p =>
-      val signs = array((0 until dim).map(d => lit(planeSign(seed, p, d))): _*)
-      val dot = aggregate(zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      // sign(dot) == sign(cosine): reuse the native codegen'd kernel
+      val signs = array((0 until dim).map(d =>
+        lit(planeSign(seed, p, d).toFloat)): _*)
+      val side = graft.functions.CosineSimilarity
+        .cosine_similarity(col(vecCol), signs) >= 0
+      when(side, lit(1L << p)).otherwise(lit(0L))
     }
     vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
       planeCols.reduce(_.bitwiseOR(_)).as("bucket"))
