@@ -82,9 +82,11 @@ object Bfs {
     var sizeF = 1L; var sizeB = 1L     // visited sizes (TOO_BIG accounting)
     var radF = 0; var radB = 0         // completed levels per side
 
-    def expand(frontier: DataFrame, visited: DataFrame, edges: DataFrame)
-        : (DataFrame, DataFrame, Long) = {
-      val f = if (cntF.min(cntB) < 10000) broadcast(frontier) else frontier
+    def expand(frontier: DataFrame, frontierCount: Long, visited: DataFrame,
+        edges: DataFrame): (DataFrame, DataFrame, Long) = {
+      // broadcast the EXPANDED side's frontier when small (AQE would also
+      // catch this, but the count is already known driver-side)
+      val f = if (frontierCount < 10000) broadcast(frontier) else frontier
       val next = f
         .join(edges, f("id") === edges("src"))
         .select($"dst".as("id"), $"src".as("parent"), ($"dist" + 1).as("dist"))
@@ -122,10 +124,10 @@ object Bfs {
       else {
         val goForward = canF && (!canB || cntF <= cntB)
         if (goForward) {
-          val (nf, nv, n) = expand(frontF, visF, eOut)
+          val (nf, nv, n) = expand(frontF, cntF, visF, eOut)
           frontF = nf; visF = nv; cntF = n; sizeF += n; radF += 1
         } else {
-          val (nb, nv, n) = expand(frontB, visB, eIn)
+          val (nb, nv, n) = expand(frontB, cntB, visB, eIn)
           frontB = nb; visB = nv; cntB = n; sizeB += n; radB += 1
         }
         best = bestMeeting()
