@@ -305,6 +305,10 @@ object SparkEntry {
       Similarity.lshTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L), k = 5, planes = 6, probeHamming = 2)),
 
+    "x_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L), k = 5, nlist = 16, nprobe = 4)),
+
     "x_lpa" -> { (s, dir) =>
       LabelPropagation.run(derivedVerts(s, dir), derivedEdges(s, dir), maxIter = 5).labels
     },

@@ -112,6 +112,66 @@ object Similarity {
       .select($"q", $"rank", $"neighbor", $"cos")
   }
 
+  // ---------------------------------------------------------------------------
+  // IVF-lite: the other standard ANN scale path (coarse quantizer + probes)
+  // ---------------------------------------------------------------------------
+
+  /** Deterministic coarse centroids: the vectors whose ids hash lowest under
+    * the seed (data-independent, reproducible at any parallelism; a real IVF
+    * would k-means these — the assignment/probe machinery is identical). */
+  private def centroids(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vectors
+      .withColumn("__h", xxhash64(col(idCol), lit(seed)))
+      .withColumn("__r", row_number().over(Window.orderBy(col("__h"), col(idCol))))
+      .filter(col("__r") <= nlist)
+      .select(col("__r").as("cell"), col(vecCol).as("cvec"))
+  }
+
+  /** Assign every vector to its nearest centroid (one broadcast pass). */
+  def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cs = broadcast(centroids(vectors, idCol, vecCol, nlist, seed))
+    val w = Window.partitionBy(col(idCol)).orderBy($"__sim".desc, $"cell")
+    vectors.join(cs)
+      .withColumn("__sim", cosine(col(vecCol), $"cvec"))
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), $"cell")
+  }
+
+  /** IVF top-k: probe the query's `nprobe` nearest cells, rank exactly
+    * within them. Scanned fraction ≈ nprobe/nlist of the corpus. */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val indexed = ivfIndex(vectors, idCol, vecCol, nlist, seed).persist()
+    val cs = broadcast(centroids(vectors, idCol, vecCol, nlist, seed))
+    val qs = indexed.filter($"id".isin(queryIds: _*))
+      .select($"id".as("q"), $"vec".as("qv"))
+    val wCells = Window.partitionBy($"q").orderBy($"__sim".desc, $"cell")
+    val probed = broadcast(qs.join(cs)
+      .withColumn("__sim", cosine($"qv", $"cvec"))
+      .withColumn("__rn", row_number().over(wCells))
+      .filter($"__rn" <= nprobe)
+      .select($"q", $"qv", $"cell"))
+    val wRank = Window.partitionBy($"q").orderBy($"cos".desc, $"neighbor")
+    indexed.join(probed, Seq("cell"))
+      .filter($"id" =!= $"q")
+      .select($"q", $"id".as("neighbor"),
+        round(cosine($"qv", $"vec"), 6).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= k)
+      .select($"q", $"rank", $"neighbor", $"cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs (a<b, cos ≥ threshold). Exact
     * variant; at scale restrict to shared LSH buckets first. */
   def embeddingNearDupPairs(

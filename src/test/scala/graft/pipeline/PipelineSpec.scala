@@ -181,6 +181,27 @@ class PipelineSpec extends SparkTestBase {
     assert(counts.length > 4, "bucketing must spread vectors")
   }
 
+  test("IVF top-k: every vector assigned to one cell; probing yields decent recall") {
+    import spark.implicits._
+    val indexed = Similarity.ivfIndex(embs, "vec_id", "embedding", nlist = 16)
+    val cells = indexed.select($"id", $"cell").as[(Long, Long)].collect()
+    assert(cells.length == vecList.size)          // exactly one cell per vector
+    assert(cells.map(_._2).distinct.length > 4)   // centroids actually spread
+    val queries = (0L until 10L).toSeq
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", queries, k = 5)
+      .select($"q", $"neighbor").as[(Long, Long)].collect().groupBy(_._1)
+    val ivf = Similarity.ivfTopK(embs, "vec_id", "embedding", queries,
+        k = 5, nlist = 16, nprobe = 6)
+      .select($"q", $"neighbor").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = queries.map { q =>
+      val b = brute(q).map(_._2).toSet
+      val a = ivf.getOrElse(q, Array.empty).map(_._2).toSet
+      a.intersect(b).size.toDouble / b.size
+    }
+    assert(recalls.sum / recalls.size >= 0.4,
+      s"mean IVF recall ${recalls.sum / recalls.size} too low (random 64-dim embeddings make coarse cells weak — nprobe 6/16 should still beat 0.4)")
+  }
+
   test("language id: marker-based heuristic is deterministic and covers all docs") {
     import spark.implicits._
     val res = TextAnalysis.languageId(docs, "doc_id", "text")
