@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.graph.{GraphBuilder, GraphTables}
 import graft.ingest.SynthCorpus
-import graft.query.{Lookups, MissingEnd, MissingStart, Routes}
+import graft.query.{Interactive, Lookups, MissingBoth, MissingEnd, MissingStart, Routes}
 
 /**
  * Command-line surface mirroring the reference's `Main.kt` subcommands so a
@@ -13,8 +13,9 @@ import graft.query.{Lookups, MissingEnd, MissingStart, Routes}
  *   convert  --input <pages_raw parquet dir|synth:N> --output <warehouse>
  *            (reference: dump → graph snapshot, `Main.kt:60-102`)
  *   query    --input <warehouse> [--from URL --to URL]
- *            (reference: interactive shortest path, `Main.kt:104-131`;
- *             non-interactive here: one route per invocation)
+ *            (with --from/--to: one route per invocation; without: the
+ *             reference's interactive stdin mode, `Main.kt:283-339`,
+ *             via [[graft.query.Interactive]])
  *   benchmark --input <warehouse> [--measurements N]
  *            (reference: `query --benchmark`, 50 seeded pairs,
  *             `Main.kt:32,341-384`)
@@ -49,20 +50,30 @@ object Cli {
 
         case Some("query") =>
           val wh = arg(args, "input").getOrElse(sys.error("--input required"))
-          val from = arg(args, "from").getOrElse(sys.error("--from required"))
-          val to = arg(args, "to").getOrElse(sys.error("--to required"))
           val routes = new Routes(GraphTables.open(spark, wh))
-          val t0 = System.nanoTime()
-          try {
-            val route = routes.findRoute(from, to)
-            val ms = (System.nanoTime() - t0) / 1e6
-            if (route.isEmpty)
-              println(f"""No route found from "$from" to "$to" (in $ms%.0f ms)""")
-            else
-              println(f"""Route: ${route.map("\"" + _ + "\"").mkString(" -> ")} (in $ms%.0f ms)""")
-          } catch {
-            case MissingStart(u) => println(s"""Start page "$u" does not exist""")
-            case MissingEnd(u) => println(s"""End page "$u" does not exist""")
+          (arg(args, "from"), arg(args, "to")) match {
+            case (Some(from), Some(to)) =>
+              val t0 = System.nanoTime()
+              try {
+                val route = routes.findRoute(from, to)
+                val ms = (System.nanoTime() - t0) / 1e6
+                if (route.isEmpty)
+                  println(f"""No route found from "$from" to "$to" (in $ms%.0f ms)""")
+                else
+                  println(f"""Route: ${route.map("\"" + _ + "\"").mkString(" -> ")} (in $ms%.0f ms)""")
+              } catch {
+                // the failure-mode trio of BadRouteException.java:5-46
+                case MissingBoth(s, e) =>
+                  println(s"""Neither start page "$s" nor end page "$e" exists""")
+                case MissingStart(u) => println(s"""Start page "$u" does not exist""")
+                case MissingEnd(u) => println(s"""End page "$u" does not exist""")
+              }
+            case _ =>
+              // no --from/--to: the reference's interactive mode
+              // (`Main.kt:283-339`): stdin loop with wildcard + random pick
+              Interactive.run(routes,
+                new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+                System.out)
           }
 
         case Some("benchmark") =>

@@ -14,8 +14,9 @@ object ScalingProbe {
     val vertices = sys.env.getOrElse("PROBE_V", "1000000").toLong
     val edgeCount = sys.env.getOrElse("PROBE_E", "16000000").toLong
     val iters = sys.env.getOrElse("PROBE_I", "5").toInt
+    val sp = sys.env.getOrElse("PROBE_SP", "-1").toInt
     for (cores <- coreList) {
-      val spark = GraftSession.builder(cores).getOrCreate()
+      val spark = GraftSession.builder(cores, shufflePartitions = sp).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       import spark.implicits._
       // JIT warmup on a small graph (does not pollute the block-manager
@@ -33,7 +34,8 @@ object ScalingProbe {
       val stepSecs = res.metrics.map(_.wallMs / 1e3).sorted
       val median = stepSecs(stepSecs.size / 2)
       val thr = e.toDouble / median
-      println(f"PROBE cores=$cores%2d medianStepSecs=$median%.2f throughput=$thr%.0f edges/s perStepMs=${res.metrics.map(_.wallMs).mkString(",")}")
+      val thrMin = e.toDouble / stepSecs.min
+      println(f"PROBE cores=$cores%2d sp=$sp%d medianStepSecs=$median%.2f throughputMedian=$thr%.0f throughputMin=$thrMin%.0f edges/s perStepMs=${res.metrics.map(_.wallMs).mkString(",")}")
       spark.stop()
     }
   }

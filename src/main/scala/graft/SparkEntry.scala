@@ -85,6 +85,30 @@ object SparkEntry {
     head + steps + s"\nSELECT id, ROUND(rank, 6) AS rank FROM r$iters"
   }
 
+  /** Unrolled fixed-iteration label propagation in portable SQL (the frozen
+    * convention of [[LabelPropagation.run]]: init label = id, next label =
+    * most frequent among undirected neighbors, ties to the smallest label,
+    * isolated vertices keep theirs). Early exit in the Spark loop only fires
+    * at a fixpoint, where further unrolled iterations are no-ops — so a
+    * fixed-depth unroll is always equivalent. */
+  private def lpaSql(iters: Int): String = {
+    val head =
+      s"""WITH $GraphCte,
+         |l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = s"l${i - 1}"
+      s""",
+         |f$i AS MATERIALIZED (SELECT u.u AS id, l.label, COUNT(*) AS c
+         |        FROM und u JOIN $p l ON u.v = l.id GROUP BY 1, 2),
+         |c$i AS MATERIALIZED (SELECT id, label FROM f$i
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+         |                                   ORDER BY c DESC, label) = 1),
+         |l$i AS MATERIALIZED (SELECT l.id, COALESCE(c.label, l.label) AS label
+         |        FROM $p l LEFT JOIN c$i c ON l.id = c.id)""".stripMargin
+    }.mkString
+    head + steps + s"\nSELECT id, CAST(label AS BIGINT) AS label FROM l$iters"
+  }
+
   // ---------------------------------------------------------------------------
   // Shared text CTEs for the documents oracles
   // ---------------------------------------------------------------------------
@@ -166,7 +190,8 @@ object SparkEntry {
     "g_bfs" -> { (s, dir) =>
       import s.implicits._
       val start = derivedVerts(s, dir).agg(min($"id")).as[Long].head()
-      Bfs.distances(derivedEdges(s, dir), start)
+      // maxDepth matches the oracle's recursive-CTE cap (WHERE w.d < 64)
+      Bfs.distances(derivedEdges(s, dir), start, maxDepth = 64)
         .select($"id", $"dist".cast("int").as("dist"))
     },
 
@@ -295,9 +320,27 @@ object SparkEntry {
           $"meta.width".as("width"), $"meta.height".as("height"))
     },
 
-    // ----- no SQL oracle (rows-only driver check) -----
-    "x_route" -> ((s, _) => entry(s)),
+    // ----- flagship route semantics, oracle-gated: bidirectional BFS
+    // shortest path on the derived graph, asserting the path LENGTH (the
+    // path itself is non-unique; length is). -1 = unreachable.
+    "x_route" -> { (s, dir) =>
+      import s.implicits._
+      val e = derivedEdges(s, dir)
+      val (lo, hi) = derivedVerts(s, dir).agg(min($"id"), max($"id"))
+        .as[(Long, Long)].head()
+      val eIn = e.select($"dst".as("src"), $"src".as("dst")).as[Edge]
+      val len = Bfs.shortestPath(e, eIn, lo, hi)
+        .map(_.size - 1).getOrElse(-1)
+      Seq(len).toDF("path_len").select($"path_len".cast("int").as("path_len"))
+    },
 
+    "x_lpa" -> { (s, dir) =>
+      LabelPropagation.run(derivedVerts(s, dir), derivedEdges(s, dir), maxIter = 5).labels
+    },
+
+    // ----- no SQL oracle (rows-only driver check) -----
+    // (the synthetic-corpus golden route is exercised by entry() itself,
+    // which the driver smoke-checks, and by GoldenSpec/RoutesSpec)
     "x_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
 
@@ -308,10 +351,6 @@ object SparkEntry {
     "x_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L), k = 5, nlist = 16, nprobe = 4)),
-
-    "x_lpa" -> { (s, dir) =>
-      LabelPropagation.run(derivedVerts(s, dir), derivedEdges(s, dir), maxIter = 5).labels
-    },
 
     "x_media_features" -> { (s, dir) =>
       import s.implicits._
@@ -365,6 +404,20 @@ object SparkEntry {
          |SELECT n AS id, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY n""".stripMargin,
 
     "g_pagerank" -> pagerankSql(10),
+
+    "x_lpa" -> lpaSql(5),
+
+    "x_route" ->
+      s"""WITH RECURSIVE $GraphCte,
+         |endpoints AS (SELECT MIN(id) AS s, MAX(id) AS e FROM verts),
+         |walk(n, d) AS (
+         |  SELECT s, 0 FROM endpoints
+         |  UNION
+         |  SELECT ed.dst, w.d + 1 FROM edges ed JOIN walk w ON ed.src = w.n
+         |  WHERE w.d < 64)
+         |SELECT CAST(COALESCE(
+         |  (SELECT MIN(d) FROM walk WHERE n = (SELECT e FROM endpoints)),
+         |  -1) AS INT) AS path_len""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

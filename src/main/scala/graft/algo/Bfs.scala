@@ -15,8 +15,9 @@ import graft.graph.Edge
  *    cap (`RouteFinder.kt:15-45,71-72`)                      → expand the side
  *    with the smaller frontier; a side past `tooBig` visited entries stops
  *    expanding unless both are past it
- *  - meeting check (`RouteFinder.kt:92`)                      → inner join of
- *    the two visited sets; optimal-stop criterion bestLen ≤ radiusF+radiusB
+ *  - meeting check (`RouteFinder.kt:92`)                      → per-superstep
+ *    join of the NEW frontier against the opposite visited set (O(frontier),
+ *    not O(visited)); optimal-stop criterion bestLen ≤ radiusF+radiusB
  *  - path stitch (`RouteFinder.kt:103-175`)                   → deterministic
  *    min-(len, meetingId) tie-break (the reference's map-order-dependent
  *    tie-break is deliberately NOT copied, SURVEY.md §7.4), then a parent
@@ -98,14 +99,32 @@ object Bfs {
       (next, visited.union(next).localCheckpoint(true), n)
     }
 
-    def bestMeeting(): Option[(Long, Int, Int)] = {
-      val met = visF.select($"id", $"dist".as("df"))
-        .join(visB.select($"id", $"dist".as("db")), "id")
-        .select($"id", $"df", $"db", ($"df" + $"db").as("len"))
+    // Meeting check per superstep: ONLY the newly-expanded frontier can
+    // create meetings (a vertex meets at the moment its second side first
+    // visits it, and per-side BFS distances are final at first visit), so
+    // joining the new frontier against the OPPOSITE visited set — O(frontier)
+    // instead of O(visited²-ish) — sees every meeting exactly once. The
+    // running best is folded driver-side under the same (len, id) tie-break.
+    def meetingOf(newFrontier: DataFrame, opposite: DataFrame,
+        frontierIsForward: Boolean): Option[(Long, Int, Int)] = {
+      val met = newFrontier.select($"id", $"dist".as("dn"))
+        .join(opposite.select($"id", $"dist".as("dopp")), "id")
+        .select($"id", $"dn", $"dopp", ($"dn" + $"dopp").as("len"))
         .orderBy($"len", $"id")
         .limit(1)
         .collect()
-      met.headOption.map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      met.headOption.map { r =>
+        if (frontierIsForward) (r.getLong(0), r.getInt(1), r.getInt(2))
+        else (r.getLong(0), r.getInt(2), r.getInt(1))
+      }
+    }
+
+    def better(x: Option[(Long, Int, Int)], y: Option[(Long, Int, Int)])
+        : Option[(Long, Int, Int)] = (x, y) match {
+      case (Some((xi, xf, xb)), Some((yi, yf, yb))) =>
+        val xl = xf + xb; val yl = yf + yb
+        if (xl < yl || (xl == yl && xi <= yi)) x else y
+      case _ => x.orElse(y)
     }
 
     // Loop until the best meeting is provably optimal (bestLen ≤ radF+radB:
@@ -126,11 +145,12 @@ object Bfs {
         if (goForward) {
           val (nf, nv, n) = expand(frontF, cntF, visF, eOut)
           frontF = nf; visF = nv; cntF = n; sizeF += n; radF += 1
+          best = better(best, meetingOf(frontF, visB, frontierIsForward = true))
         } else {
           val (nb, nv, n) = expand(frontB, cntB, visB, eIn)
           frontB = nb; visB = nv; cntB = n; sizeB += n; radB += 1
+          best = better(best, meetingOf(frontB, visF, frontierIsForward = false))
         }
-        best = bestMeeting()
         if (best.isEmpty && (cntF == 0 || cntB == 0)) exhausted = true
       }
     }

@@ -20,7 +20,10 @@ import org.apache.spark.sql.{Column, GraftExpressionBridge, SparkSession}
  *
  * Math is the EXACT left-fold in double that the portable formulation uses
  * (`Similarity.cosinePortable`), so results are bit-identical — asserted in
- * PipelineSpec — and the DuckDB oracles are unaffected.
+ * PipelineSpec — and the DuckDB oracles are unaffected. That includes the
+ * null semantics: unequal-length arrays (zip_with null-pads the shorter
+ * side ⇒ null dot) and null elements (null propagates through * and +)
+ * both yield NULL here too, not a prefix-truncated number.
  */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,15 +37,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // nullable even for non-null children: length-mismatch / null element ⇒ null
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -61,14 +68,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      double $xi = (double) $a.getFloat($i);
+         |      double $yi = (double) $b.getFloat($i);
+         |      $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

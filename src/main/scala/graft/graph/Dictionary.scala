@@ -27,9 +27,16 @@ object Dictionary {
 
   private val MonoMask = (1L << 33) - 1
 
-  /** Scale path. `df` must have unique values in `key`. Appends `id`. */
-  def assignIds(df: DataFrame, key: String, idCol: String = "id"): DataFrame =
-    assignIdsWithHandle(df, key, idCol)._1
+  /** Scale path. `df` must have unique values in `key`. Appends `id`.
+    * Eager: materializes via localCheckpoint and releases the internal
+    * sort cache before returning (callers needing to defer the release —
+    * e.g. to commit to a table instead — use [[assignIdsWithHandle]]). */
+  def assignIds(df: DataFrame, key: String, idCol: String = "id"): DataFrame = {
+    val (out, release) = assignIdsWithHandle(df, key, idCol)
+    val res = out.localCheckpoint(true)
+    release()
+    res
+  }
 
   /** As [[assignIds]], also returning a release hook that unpersists the
     * internal cached sort — call it after the OUTPUT has been materialized

@@ -12,12 +12,16 @@ case class LinkGraph(
     pages: Dataset[Page],
     edges: Dataset[Edge],
     statsBefore: GraphStats,
-    statsAfter: GraphStats) {
+    statsAfter: GraphStats,
+    reversedTable: Option[Dataset[Edge]] = None) {
 
   /** Transpose (in-edge view) — the reference materializes this eagerly
     * (`WikiRoutes.kt:126-162`, `SegmentWikiGraphSerialization.kt:88-140`);
-    * one shuffle buys shuffle-free backward BFS expansion. */
-  def reversed: Dataset[Edge] = {
+    * one shuffle buys shuffle-free backward BFS expansion. A graph opened
+    * from committed tables ([[GraphTables.open]]) carries the PERSISTED
+    * transpose (`edges_by_dst`) in `reversedTable`, so the query path never
+    * re-derives it with a shuffle; a freshly-built graph derives it lazily. */
+  def reversed: Dataset[Edge] = reversedTable.getOrElse {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select($"dst".as("src"), $"src".as("dst")).as[Edge]
@@ -167,9 +171,11 @@ object GraphBuilder {
         .collect().toMap
       val ec = edges.count()
       // nullLinkCount after cleanup = raw link occurrences whose target does
-      // not exist as a live page (dangling, dropped by the join)
-      val rawCount = rawEdges.count()
-      val resolved = rawEdges.join(pDst, "dst_url").count()
+      // not exist as a live page (dangling, dropped by the join) — one
+      // left-join aggregate pass computes raw and resolved together
+      val (rawCount, resolved) = rawEdges
+        .join(pDst, Seq("dst_url"), "left")
+        .agg(count(lit(1)), count($"dst")).as[(Long, Long)].head()
       GraphStats(
         articleCount = pc.getOrElse(false, 0L),
         redirectCount = pc.getOrElse(true, 0L),

@@ -80,11 +80,14 @@ object GraphTables {
     val cat = new IcebergLite(warehouse)
     val pages = cat.read(spark, "pages_by_url").as[Page]
     val edges = cat.read(spark, "edges_by_src").as[Edge]
+    // the committed transpose: backward BFS reads this scan directly
+    // instead of re-shuffling edges_by_src at query time
+    val reversed = cat.read(spark, "edges_by_dst").as[Edge]
     val statRows = cat.read(spark, "stats")
       .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     def gs(k: String) = statRows.get(k)
       .map(r => GraphStats(r._2, r._3, r._4, r._5))
       .getOrElse(GraphStats(0, 0, 0, 0))
-    LinkGraph(pages, edges, gs("before"), gs("after"))
+    LinkGraph(pages, edges, gs("before"), gs("after"), Some(reversed))
   }
 }

@@ -56,12 +56,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs (a < b) sharing ≥ 1 retained shingle, with the common
+    * count. Cost is Σ postings² per shingle — `maxPostings` drops ubiquitous
+    * shingles (the classic stop-shingle cut), bounding each term at
+    * maxPostings²; disabled when ≤ 0.
+    *
+    * RECALL trade-off when enabled: a pair whose ONLY shared shingles are
+    * ubiquitous ones generates no candidate — but such a pair's Jaccard is
+    * ≤ (dropped shingles)/|union|, tiny for any useful threshold, so the cut
+    * is near-lossless in practice while turning the worst case from
+    * corpus-quadratic into maxPostings-quadratic. */
+  def jaccardCandidates(ds: DataFrame, maxPostings: Long = 0L): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val postings =
+      if (maxPostings > 0)
+        ds.join(ds.groupBy($"shingle").agg(count(lit(1)).as("pc"))
+          .filter($"pc" <= maxPostings), "shingle")
+          .select($"id", $"shingle")
+      else ds
+    postings.select($"id".as("a"), $"shingle")
+      .join(postings.select($"id".as("b"), $"shingle"), "shingle")
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
+  }
+
+  /** Jaccard ≥ threshold filter over (a, b, common) candidates. */
+  private def jaccardFilter(common: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = common.sparkSession
+    import spark.implicits._
+    common
+      .join(sizes.select($"id".as("a"), $"sz".as("sza")), "a")
+      .join(sizes.select($"id".as("b"), $"sz".as("szb")), "b")
+      .filter($"common".cast("double") /
+        ($"sza" + $"szb" - $"common").cast("double") >= threshold)
+      .select($"a", $"b")
+  }
+
   /**
    * n-gram Jaccard near-duplicates: all pairs (a < b) with
    * |Sa ∩ Sb| / |Sa ∪ Sb| ≥ threshold. Candidates generated from the
-   * shingle inverted index (common-shingle join), so cost is Σ postings²
-   * per shingle — bounded by dropping ubiquitous shingles (`maxPostings`,
-   * the classic stop-shingle cut; disabled when ≤ 0).
+   * shingle inverted index (common-shingle join, [[jaccardCandidates]]),
+   * never a cross join. Eager: the result is materialized so the internal
+   * shingle cache can be released before returning.
    */
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -70,22 +108,10 @@ object Dedup {
     import spark.implicits._
     val ds = docShingles(docs, idCol, textCol, n).persist()
     val sizes = ds.groupBy($"id").agg(count(lit(1)).as("sz"))
-    val postings =
-      if (maxPostings > 0)
-        ds.join(ds.groupBy($"shingle").agg(count(lit(1)).as("pc"))
-          .filter($"pc" <= maxPostings), "shingle")
-          .select($"id", $"shingle")
-      else ds
-    val common = postings.select($"id".as("a"), $"shingle")
-      .join(postings.select($"id".as("b"), $"shingle"), "shingle")
-      .filter($"a" < $"b")
-      .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select($"id".as("a"), $"sz".as("sza")), "a")
-      .join(sizes.select($"id".as("b"), $"sz".as("szb")), "b")
-      .filter($"common".cast("double") /
-        ($"sza" + $"szb" - $"common").cast("double") >= threshold)
-      .select($"a", $"b")
+    val out = jaccardFilter(jaccardCandidates(ds, maxPostings), sizes, threshold)
+      .localCheckpoint(true)
+    ds.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------------------
@@ -95,21 +121,30 @@ object Dedup {
   /** k-function MinHash signature, one aggregation pass: hash_i(s) =
     * md5(i || '|' || s), minhash_i = lexicographic min (portable: string
     * min over md5 hex matches DuckDB exactly). Output: id, m0..m{k-1}. */
-  def minhashSignatures(
-      docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
+  private def signaturesFromShingles(ds: DataFrame, k: Int): DataFrame = {
+    val spark = ds.sparkSession
     import spark.implicits._
-    val ds = docShingles(docs, idCol, textCol, n)
     val aggs = (0 until k).map(i =>
       min(md5(concat(lit(i.toString), lit("|"), $"shingle"))).as(s"m$i"))
     ds.groupBy($"id").agg(aggs.head, aggs.tail: _*)
   }
 
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 8): DataFrame =
+    signaturesFromShingles(docShingles(docs, idCol, textCol, n), k)
+
   /**
    * MinHash-LSH candidate pairs: band the k-signature into `bands` groups of
    * k/bands rows; docs sharing any band digest are candidates; optional
    * exact-Jaccard verification pass keeps pairs ≥ threshold.
+   *
+   * The verify pass is CANDIDATE-RESTRICTED: each candidate pair joins back
+   * to the per-doc shingle postings and counts its intersection directly —
+   * work is O(|candidates| × doc shingles), never the corpus-wide
+   * postings² of [[jaccardPairs]]. This is the whole point of LSH: the
+   * banded buckets bound the pair set, the exact check only prices what the
+   * buckets admitted. Eager: result materialized, internal caches released.
    */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -119,7 +154,8 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val r = k / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k).persist()
+    val ds = docShingles(docs, idCol, textCol, n).persist()
+    val sigs = signaturesFromShingles(ds, k).persist()
     val bandCols = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"m$i"))
       struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("key"))
@@ -130,11 +166,22 @@ object Dedup {
       .join(buckets.select($"id".as("b"), $"band", $"key"), Seq("band", "key"))
       .filter($"a" < $"b")
       .select($"a", $"b").distinct()
-    if (verifyThreshold <= 0) cand
-    else {
-      val verified = jaccardPairs(docs, idCol, textCol, n, verifyThreshold)
-      cand.join(verified, Seq("a", "b"), "left_semi")
-    }
+    val result =
+      if (verifyThreshold <= 0) cand
+      else {
+        // intersection counts for candidate pairs ONLY: explode each pair
+        // through a's postings, keep rows where b also has the shingle
+        val common = cand
+          .join(ds.select($"id".as("a"), $"shingle"), "a")
+          .join(ds.select($"id".as("b"), $"shingle"), Seq("b", "shingle"))
+          .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
+        val sizes = ds.groupBy($"id").agg(count(lit(1)).as("sz"))
+        jaccardFilter(common, sizes, verifyThreshold)
+      }
+    val out = result.localCheckpoint(true)
+    sigs.unpersist()
+    ds.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------------------
@@ -184,7 +231,10 @@ object Dedup {
       .join(quarters.select($"id".as("b"), $"sig".as("sigb"), $"q", $"qv"), Seq("q", "qv"))
       .filter($"a" < $"b")
       .select($"a", $"b", $"siga", $"sigb").distinct()
-    cand.filter(bit_count($"siga".bitwiseXOR($"sigb")) <= maxDist)
+    val out = cand.filter(bit_count($"siga".bitwiseXOR($"sigb")) <= maxDist)
       .select($"a", $"b")
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 }

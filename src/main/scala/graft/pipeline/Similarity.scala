@@ -85,11 +85,39 @@ object Similarity {
       planeCols.reduce(_.bitwiseOR(_)).as("bucket"))
   }
 
+  /** All XOR masks over `planes` bits with ≤ maxBits bits set — the
+    * multi-probe bucket offsets, enumerated driver-side (data-independent;
+    * Σ_{i≤maxBits} C(planes,i) values). */
+  private[pipeline] def probeMasks(planes: Int, maxBits: Int): Seq[Long] = {
+    require(planes <= 30, "probe enumeration assumes a small plane count")
+    (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= maxBits)
+      .map(_.toLong)
+  }
+
+  /** Candidate generation for [[lshTopK]]: each query explodes into its
+    * Σ_{i≤probeHamming} C(planes,i) probe buckets (query bucket XOR each
+    * ≤probeHamming-bit mask, enumerated driver-side) and hash-joins the
+    * corpus on `bucket` — the corpus is scanned once and only matching
+    * buckets produce candidates, vs a broadcast-NLJ `bit_count(xor)` filter
+    * that would score every row. Exposed for plan-audit tests. */
+  private[pipeline] def lshCandidates(bucketed: DataFrame, queryIds: Seq[Long],
+      planes: Int, probeHamming: Int): DataFrame = {
+    val spark = bucketed.sparkSession
+    import spark.implicits._
+    val masks = probeMasks(planes, probeHamming)
+    val qProbes = broadcast(bucketed.filter($"id".isin(queryIds: _*))
+      .select($"id".as("q"), $"vec".as("qv"), $"bucket".as("qb"))
+      .withColumn("mask", explode(array(masks.map(lit): _*)))
+      .select($"q", $"qv", $"qb".bitwiseXOR($"mask").as("bucket")))
+    bucketed.join(qProbes, Seq("bucket")).filter($"id" =!= $"q")
+  }
+
   /**
    * Approximate top-k: candidates restricted to vectors whose LSH bucket is
-   * within `probeHamming` bits of the query's bucket (multi-probe), then
-   * exact cosine rank within candidates. Cuts the scanned fraction to
-   * ~Σ_{i≤probe} C(planes,i)/2^planes of the corpus.
+   * within `probeHamming` bits of the query's bucket (multi-probe,
+   * [[lshCandidates]] equi-join), then exact cosine rank within candidates.
+   * Cuts the scanned fraction to ~Σ_{i≤probe} C(planes,i)/2^planes of the
+   * corpus. Eager: result materialized, bucket cache released.
    */
   def lshTopK(
       vectors: DataFrame, idCol: String, vecCol: String,
@@ -99,17 +127,16 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val bucketed = lshBucket(vectors, idCol, vecCol, planes, seed).persist()
-    val qs = broadcast(bucketed.filter($"id".isin(queryIds: _*))
-      .select($"id".as("q"), $"vec".as("qv"), $"bucket".as("qb")))
-    val cand = bucketed.join(qs,
-      ($"id" =!= $"q") &&
-        (bit_count($"bucket".bitwiseXOR($"qb")) <= probeHamming))
+    val cand = lshCandidates(bucketed, queryIds, planes, probeHamming)
     val w = Window.partitionBy($"q").orderBy($"cos".desc, $"neighbor")
-    cand.select($"q", $"id".as("neighbor"),
+    val out = cand.select($"q", $"id".as("neighbor"),
         round(cosine($"qv", $"vec"), 6).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"q", $"rank", $"neighbor", $"cos")
+      .localCheckpoint(true)
+    bucketed.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------------------
@@ -118,30 +145,44 @@ object Similarity {
 
   /** Deterministic coarse centroids: the vectors whose ids hash lowest under
     * the seed (data-independent, reproducible at any parallelism; a real IVF
-    * would k-means these — the assignment/probe machinery is identical). */
+    * would k-means these — the assignment/probe machinery is identical).
+    * Selection is `orderBy(h).limit(nlist)` — TakeOrderedAndProject, a
+    * per-partition top-K + driver merge, never a global sort or window; the
+    * nlist survivors are numbered on the driver (they are the rows a
+    * k-means-style quantizer would hold driver-side to broadcast anyway). */
   private def centroids(vectors: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    vectors
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val top = vectors
       .withColumn("__h", xxhash64(col(idCol), lit(seed)))
-      .withColumn("__r", row_number().over(Window.orderBy(col("__h"), col(idCol))))
-      .filter(col("__r") <= nlist)
-      .select(col("__r").as("cell"), col(vecCol).as("cvec"))
+      .select(col("__h"), col(idCol).cast("long").as("__id"), col(vecCol).as("cvec"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(nlist)
+      .as[(Long, Long, Array[Float])]
+      .collect()
+    val numbered = top.sortBy(t => (t._1, t._2)).zipWithIndex
+      .map { case ((_, _, v), i) => (i + 1, v) }.toSeq
+    spark.createDataset(numbered).toDF("cell", "cvec")
   }
 
-  /** Assign every vector to its nearest centroid (one broadcast pass). */
+  /** Assign every vector to its nearest centroid: one broadcast of the
+    * nlist centroids, then a `max_by` partial aggregation per vector —
+    * map-side combine keeps the shuffle at one row per vector, vs a
+    * window that would shuffle all N×nlist scored rows. Tie-break matches
+    * the exact ranking convention: highest sim, then lowest cell. */
   def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, seed: Long = 42L): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val cs = broadcast(centroids(vectors, idCol, vecCol, nlist, seed))
-    val w = Window.partitionBy(col(idCol)).orderBy($"__sim".desc, $"cell")
     vectors.join(cs)
       .withColumn("__sim", cosine(col(vecCol), $"cvec"))
-      .withColumn("__rn", row_number().over(w))
-      .filter($"__rn" === 1)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), $"cell")
+      .groupBy(col(idCol).as("id"))
+      .agg(max_by(
+        struct($"cell", col(vecCol).as("vec")),
+        struct($"__sim", (-$"cell").as("nc"))).as("best"))
+      .select($"id", $"best.vec".as("vec"), $"best.cell".as("cell"))
   }
 
   /** IVF top-k: probe the query's `nprobe` nearest cells, rank exactly
@@ -163,29 +204,63 @@ object Similarity {
       .filter($"__rn" <= nprobe)
       .select($"q", $"qv", $"cell"))
     val wRank = Window.partitionBy($"q").orderBy($"cos".desc, $"neighbor")
-    indexed.join(probed, Seq("cell"))
+    val out = indexed.join(probed, Seq("cell"))
       .filter($"id" =!= $"q")
       .select($"q", $"id".as("neighbor"),
         round(cosine($"qv", $"vec"), 6).as("cos"))
       .withColumn("rank", row_number().over(wRank))
       .filter($"rank" <= k)
       .select($"q", $"rank", $"neighbor", $"cos")
+      .localCheckpoint(true)
+    indexed.unpersist()
+    out
   }
 
-  /** Embedding-cosine near-duplicate pairs (a<b, cos ≥ threshold). Exact
-    * variant; at scale restrict to shared LSH buckets first. */
+  /**
+   * Embedding-cosine near-duplicate pairs (a<b, cos ≥ threshold).
+   *
+   * Two variants, selected by how selective the threshold makes a
+   * random-hyperplane bucket (per-plane collision p = 1 − acos(τ)/π):
+   *
+   *  - `useLsh = true`: candidates restricted to shared LSH buckets, exact
+   *    cosine verify. APPROXIMATE — recall per pair is p^planes; sound only
+   *    for genuinely-near duplicates (τ ≥ ~0.9 ⇒ p ≥ ~0.93). Below that the
+   *    math turns against LSH entirely: at τ = 0.45, p ≈ 0.65, and ANY
+   *    (rows r, bands b) amplification with per-pair recall ≥ 1−1e-5 costs
+   *    more bucket-join work than the exact join (e.g. r=4 ⇒ b≈59 tables ⇒
+   *    59·N²/16 candidate pairs > N²/2). LSH is a high-threshold tool.
+   *  - `useLsh = false` (default): EXACT, via a block-partitioned self-join:
+   *    vectors are id-hashed into `blocks` buckets, the B(B+1)/2 bucket
+   *    pairs are enumerated driver-side, and each side equi-joins on its
+   *    bucket-pair key. Same O(N²/2) kernel evaluations as the naive
+   *    theta-join (inherent to an exact low-threshold join), but the plan
+   *    is a shuffled hash join on a uniform key — no cartesian operator, no
+   *    broadcast of the corpus, every task bounded at (N/B)² comparisons
+   *    and skew-free by construction. Each unordered pair lands in exactly
+   *    one bucket-pair cell, so no distinct pass is needed.
+   */
   def embeddingNearDupPairs(
       vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, useLsh: Boolean = false,
-      planes: Int = 8, seed: Long = 42L): DataFrame = {
+      planes: Int = 8, seed: Long = 42L, blocks: Int = 16): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     if (!useLsh) {
-      val l = vectors.select(col(idCol).as("a"), col(vecCol).as("va"))
-      val r = vectors.select(col(idCol).as("b"), col(vecCol).as("vb"))
-      l.join(r, $"a" < $"b")
+      val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        pmod(xxhash64(col(idCol), lit(seed)), lit(blocks)).as("blk"))
+      // bucket-pair cells (bi ≤ bj); each row replicates to the cells where
+      // its bucket participates — ~B/2 copies per side, tiny vs pair count
+      val cells = (for (i <- 0 until blocks; j <- i until blocks) yield (i, j))
+      val cellsDf = broadcast(cells.toDF("bi", "bj"))
+      val l = v.join(cellsDf, $"blk" === $"bi")
+        .select($"id".as("ia"), $"vec".as("va"), $"bi", $"bj")
+      val r = v.join(cellsDf, $"blk" === $"bj")
+        .select($"id".as("ib"), $"vec".as("vb"), $"bi", $"bj")
+      l.join(r, Seq("bi", "bj"))
+        // same-cell diagonal: keep one orientation; cross-cell: ia≠ib always
+        .filter(($"bi" =!= $"bj") || ($"ia" < $"ib"))
         .filter(round(cosine($"va", $"vb"), 6) >= threshold)
-        .select($"a", $"b")
+        .select(least($"ia", $"ib").as("a"), greatest($"ia", $"ib").as("b"))
     } else {
       val bucketed = lshBucket(vectors, idCol, vecCol, planes, seed)
       val l = bucketed.select($"id".as("a"), $"vec".as("va"), $"bucket")

@@ -7,10 +7,12 @@ import graft.algo.Bfs
 import graft.graph.{Edge, LinkGraph, Page}
 
 /** Distinct route-failure modes, mirroring `BadRouteException.java:5-46`
-  * (missing start / missing end are errors; no-route is an empty result). */
+  * (missing start / missing end / both are errors with their own messages;
+  * no-route is an empty result). */
 sealed trait RouteError extends Exception
 final case class MissingStart(url: String) extends RouteError
 final case class MissingEnd(url: String) extends RouteError
+final case class MissingBoth(startUrl: String, endUrl: String) extends RouteError
 
 /**
  * Url-level shortest-route API over a built [[LinkGraph]] — the analog of
@@ -61,15 +63,34 @@ class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig,
       (byUrl, byId)
     }
 
+  /** Fail with the error matching which endpoints are missing — BOTH missing
+    * is its own mode (`BadRouteException.java:25-31`; reference renders
+    * "Neither start point X or end point Y do exist", `Main.kt:296-301`). */
+  private def require2(startUrl: String, start: Option[Page],
+      endUrl: String, end: Option[Page]): (Page, Page) = (start, end) match {
+    case (Some(s), Some(e)) => (s, e)
+    case (None, None) => throw MissingBoth(startUrl, endUrl)
+    case (None, _) => throw MissingStart(startUrl)
+    case _ => throw MissingEnd(endUrl)
+  }
+
+  /** Does a page with this exact url exist? (interactive prompt validation,
+    * `Main.kt:333` `routes.hasPage`). */
+  def hasPage(url: String): Boolean = urlIndex match {
+    case Some((byUrl, _)) => byUrl.containsKey(url)
+    case None => resolve(url).isDefined
+  }
+
   /** Shortest route as urls, start..end inclusive; empty = no route
     * (distinct from the missing-page errors). */
   @throws[MissingStart]
   @throws[MissingEnd]
+  @throws[MissingBoth]
   def findRoute(startUrl: String, endUrl: String): Seq[String] = {
     (interactive, urlIndex) match {
       case (Some(mem), Some((byUrl, byId))) =>
-        val start = Option(byUrl.get(startUrl)).getOrElse(throw MissingStart(startUrl))
-        val end = Option(byUrl.get(endUrl)).getOrElse(throw MissingEnd(endUrl))
+        val (start, end) = require2(
+          startUrl, Option(byUrl.get(startUrl)), endUrl, Option(byUrl.get(endUrl)))
         mem.shortestPath(start.id, end.id, tooBig) match {
           case None => Nil
           case Some(path) => path.map(byId.get(_))
@@ -82,9 +103,9 @@ class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig,
     * tests to exercise both implementations on the same graph). */
   @throws[MissingStart]
   @throws[MissingEnd]
+  @throws[MissingBoth]
   def findRouteDistributed(startUrl: String, endUrl: String): Seq[String] = {
-    val start = resolve(startUrl).getOrElse(throw MissingStart(startUrl))
-    val end = resolve(endUrl).getOrElse(throw MissingEnd(endUrl))
+    val (start, end) = require2(startUrl, resolve(startUrl), endUrl, resolve(endUrl))
     Bfs.shortestPath(edgesOut, edgesIn, start.id, end.id, tooBig) match {
       case None => Nil
       case Some(ids) => urlsOf(ids)

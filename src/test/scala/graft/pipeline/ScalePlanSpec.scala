@@ -1,0 +1,180 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-shape tests for the pipeline operators: each rewritten plan must be
+ * (a) result-identical to the naive formulation it replaced and (b) free of
+ * the scale anti-pattern it was rewritten to avoid (asserted on the actual
+ * executed plan string, not by inspection).
+ */
+class ScalePlanSpec extends SparkTestBase {
+
+  private lazy val embs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // -------------------------------------------------------------------------
+  // LSH multi-probe: equi-join candidates ≡ bit_count filter candidates
+  // -------------------------------------------------------------------------
+  test("lshCandidates equi-join = bit_count-filter candidate set; no NLJ in plan") {
+    import spark.implicits._
+    val queries = (0L until 8L).toSeq
+    val bucketed = Similarity.lshBucket(embs, "vec_id", "embedding", planes = 6)
+      .cache()
+    val cand = Similarity.lshCandidates(bucketed, queries, planes = 6, probeHamming = 2)
+    val got = cand.select($"q", $"id").as[(Long, Long)].collect().toSet
+    // naive reference: score every (query, corpus) pair, keep Hamming ≤ 2
+    val all = bucketed.select($"id", $"bucket").as[(Long, Long)].collect()
+    val qb = all.filter(x => queries.contains(x._1)).toMap
+    val want = (for {
+      q <- queries
+      (id, b) <- all if id != q
+      if java.lang.Long.bitCount(qb(q) ^ b) <= 2
+    } yield (q, id)).toSet
+    assert(got == want)
+    val plan = planOf(cand)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"probe join must be a hash equi-join:\n$plan")
+    assert(Similarity.probeMasks(6, 2).size == 1 + 6 + 15) // C(6,0)+C(6,1)+C(6,2)
+    bucketed.unpersist()
+  }
+
+  // -------------------------------------------------------------------------
+  // IVF: min_by assignment ≡ driver argmax; no Window over the corpus
+  // -------------------------------------------------------------------------
+  test("ivfIndex assignment = driver argmax over centroids; no Window in plan") {
+    import spark.implicits._
+    val nlist = 16
+    val lazyIndexed = Similarity.ivfIndex(embs, "vec_id", "embedding", nlist = nlist)
+    val plan = planOf(lazyIndexed)
+    assert(!plan.contains("Window"),
+      s"assignment must aggregate, not window over N x nlist rows:\n$plan")
+    // reproduce the centroid choice independently (lowest xxhash64(id, 42)),
+    // then check each vector's assigned cell is the true argmax
+    val hashed = embs.select($"vec_id", xxhash64($"vec_id", lit(42L)).as("h"),
+        $"embedding")
+      .as[(Long, Long, Array[Float])].collect()
+    val centroids = hashed.sortBy(x => (x._2, x._1)).take(nlist)
+      .zipWithIndex.map { case ((_, _, v), i) => (i + 1, v) }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = lazyIndexed.select($"id", $"cell").as[(Long, Long)].collect().toMap
+    assert(got.size == hashed.length)
+    for ((id, _, v) <- hashed) {
+      val best = centroids.map { case (c, cv) => (cos(v, cv), -c) }.max
+      assert(got(id) == -best._2.toLong, s"vector $id assigned to wrong cell")
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // Exact near-dup: blocked equi-join ≡ naive theta join; no cartesian op
+  // -------------------------------------------------------------------------
+  test("blocked exact near-dup = naive theta-join pairs; no cartesian in plan") {
+    import spark.implicits._
+    val blocked = Similarity.embeddingNearDupPairs(embs, "vec_id", "embedding",
+      threshold = 0.45, blocks = 8)
+    val got = blocked.as[(Long, Long)].collect().toSet
+    // naive oracle, driver-side
+    val vecs = embs.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+      if BigDecimal(cos(va, vb)).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.45
+    } yield (a, b)).toSet
+    assert(got == want)
+    val plan = planOf(blocked)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"exact near-dup must be a block-partitioned equi-join:\n$plan")
+  }
+
+  // -------------------------------------------------------------------------
+  // Stop-shingle cut: bounded candidates under a corpus-ubiquitous shingle
+  // -------------------------------------------------------------------------
+  test("jaccardCandidates: ubiquitous shingle bounded by maxPostings cut") {
+    import spark.implicits._
+    // every doc shares the trigram "alpha beta gamma"; all other shingles
+    // are unique per doc
+    val docs = (0L until 40L)
+      .map(i => (i, s"alpha beta gamma u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    val ds = Dedup.docShingles(docs, "doc_id", "text", n = 3)
+    val unbounded = Dedup.jaccardCandidates(ds, maxPostings = 0L).count()
+    assert(unbounded == 40L * 39L / 2L) // the hub shingle pairs everyone
+    val bounded = Dedup.jaccardCandidates(ds, maxPostings = 5L).count()
+    assert(bounded == 0L) // hub dropped; unique shingles pair nothing
+    // and the VERIFIED pair set at a useful threshold is identical (the cut
+    // only removes candidates whose Jaccard is dominated by hub shingles)
+    val p0 = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+      maxPostings = 0L).count()
+    val p1 = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+      maxPostings = 5L).count()
+    assert(p0 == 0L && p1 == 0L)
+  }
+
+  // -------------------------------------------------------------------------
+  // Native cosine kernel: null semantics match the portable formulation
+  // -------------------------------------------------------------------------
+  test("cosine kernel: unequal lengths and null elements yield NULL like zip_with") {
+    import spark.implicits._
+    val mism = spark.range(1).select(
+      array(lit(1f), lit(2f)).as("a"),
+      array(lit(1f), lit(2f), lit(3f)).as("b"))
+    val r1 = mism.select(
+      Similarity.cosine($"a", $"b").as("native"),
+      Similarity.cosinePortable($"a", $"b").as("portable")).head()
+    assert(r1.isNullAt(0) && r1.isNullAt(1))
+    val withNull = spark.range(1).select(
+      array(lit(1f), lit(null).cast("float")).as("a"),
+      array(lit(1f), lit(2f)).as("b"))
+    val r2 = withNull.select(
+      Similarity.cosine($"a", $"b").as("native"),
+      Similarity.cosinePortable($"a", $"b").as("portable")).head()
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+  }
+
+  // -------------------------------------------------------------------------
+  // Multimodal: dimensions parsed from real header bytes
+  // -------------------------------------------------------------------------
+  test("media dimensions come from PNG IHDR / JPEG SOF0 bytes, not metadata") {
+    import spark.implicits._
+    // roundtrip: synthetic payloads carry genuine headers
+    for (id <- 0L until 60L) {
+      val payload = Multimodal.fakePayload(id, s"text $id")
+      val parsed = Multimodal.parseDimensions(payload)
+      val wantFmt = if (id % 3 == 0) "png" else "jpeg"
+      val wantW = 64 + (id % 8).toInt * 16
+      val wantH = 64 + (id % 5).toInt * 16
+      assert(parsed.contains((wantFmt, wantW, wantH)), s"doc $id: $parsed")
+    }
+    // malformed payloads parse to None, not garbage
+    assert(Multimodal.parseDimensions(Array[Byte]()) == None)
+    assert(Multimodal.parseDimensions("not an image".getBytes) == None)
+    assert(Multimodal.parseDimensions(Array(0xFF, 0xD8, 0x00, 0x01).map(_.toByte)) == None)
+    // end-to-end through the Dataset plumbing
+    val docs = Seq((7L, "seven"), (9L, "nine")).toDF("doc_id", "text")
+    val metas = Multimodal.withMedia(docs, "doc_id", "text")
+      .collect().map(r => r.doc_id -> r.meta).toMap
+    assert(metas(7L) == MediaMeta("jpeg", 64 + 7 * 16, 64 + 2 * 16,
+      Multimodal.fakePayload(7L, "seven").length.toLong))
+    assert(metas(9L).format == "png" && metas(9L).width == 64 + 16 && metas(9L).height == 64 + 4 * 16)
+  }
+}
