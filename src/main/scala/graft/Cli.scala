@@ -21,6 +21,11 @@ import graft.query.{Interactive, Lookups, MissingBoth, MissingEnd, MissingStart,
  *             `Main.kt:32,341-384`)
  *   search   --input <warehouse> --prefix P [--limit K]
  *            (reference: wildcard lookup, `Main.kt:323`)
+ *   analyze  --input <warehouse> --algo pagerank|cc|lpa|bfs
+ *            [--state DIR] [--iters N] [--start URL]
+ *            (beyond the reference: the north-rule iterative algorithms as
+ *             a spark-submit entrypoint; with --state every superstep
+ *             commits to Iceberg-lite and a re-run resumes mid-algorithm)
  */
 object Cli {
 
@@ -32,6 +37,17 @@ object Cli {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     try {
+      run(spark, args)
+    } catch {
+      // argument errors (sys.error) surface as one line, not a stack trace
+      case e: RuntimeException if e.getMessage != null =>
+        System.err.println(s"error: ${e.getMessage}")
+        sys.exit(2)
+    } finally spark.stop()
+  }
+
+  private def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    {
       args.headOption match {
         case Some("convert") =>
           val input = arg(args, "input").getOrElse("synth:2000")
@@ -103,11 +119,64 @@ object Cli {
           Lookups.prefixTopK(routes.pages, prefix, k).foreach(p =>
             println(s"${p.id}\t${p.url}${if (p.isRedirect) "\t(redirect)" else ""}"))
 
+        case Some("analyze") =>
+          val wh = arg(args, "input").getOrElse(sys.error("--input required"))
+          val algo = arg(args, "algo").getOrElse(sys.error("--algo required"))
+          val iters = arg(args, "iters").map(_.toInt).getOrElse(10)
+          val graph = GraphTables.open(spark, wh)
+          import spark.implicits._
+          val verts = graph.pages.select($"id").toDF("id")
+          def log() = arg(args, "state").map(new graft.state.Supersteps(_, algo, spark))
+          def printSteps(ms: Seq[graft.algo.SuperstepMetric]): Unit =
+            ms.foreach(m => println(
+              f"superstep ${m.superstep}%3d  rows=${m.rowsOut}%-9d wall=${m.wallMs} ms"))
+          algo match {
+            case "pagerank" =>
+              val res = log() match {
+                case Some(l) => graft.algo.PageRank.runResumable(verts, graph.edges, l, maxIter = iters)
+                case None => graft.algo.PageRank.run(verts, graph.edges, tol = 0.0, maxIter = iters)
+              }
+              printSteps(res.metrics)
+              println("top pages by rank:")
+              res.ranks.join(graph.pages, "id").orderBy($"rank".desc, $"id").limit(10)
+                .select($"url", org.apache.spark.sql.functions.round($"rank", 6).as("rank"))
+                .collect().foreach(r => println(f"  ${r.getDouble(1)}%.6f  ${r.getString(0)}"))
+            case "cc" =>
+              val res = log() match {
+                case Some(l) => graft.algo.ConnectedComponents.runResumable(verts, graph.edges, l)
+                case None => graft.algo.ConnectedComponents.run(verts, graph.edges)
+              }
+              printSteps(res.metrics)
+              val sizes = res.components.groupBy($"component").count()
+                .orderBy($"count".desc, $"component").limit(5).collect()
+              println("largest components:")
+              sizes.foreach(r => println(s"  component ${r.getLong(0)}: ${r.getLong(1)} vertices"))
+            case "lpa" =>
+              val res = log() match {
+                case Some(l) => graft.algo.LabelPropagation.runResumable(verts, graph.edges, l, maxIter = iters)
+                case None => graft.algo.LabelPropagation.run(verts, graph.edges, maxIter = iters)
+              }
+              printSteps(res.metrics)
+              println(s"communities: ${res.labels.select($"label").distinct().count()}")
+            case "bfs" =>
+              val startUrl = arg(args, "start").getOrElse(sys.error("--start required for bfs"))
+              val start = Lookups.point(graph.pages, startUrl)
+                .getOrElse(sys.error(s"no page $startUrl")).id
+              val visited = log() match {
+                case Some(l) => graft.algo.Bfs.distancesResumable(graph.edges, start, l)
+                case None => graft.algo.Bfs.distances(graph.edges, start)
+              }
+              println(s"reachable from $startUrl: ${visited.count()} pages; by depth:")
+              visited.groupBy($"dist").count().orderBy($"dist").collect()
+                .foreach(r => println(s"  depth ${r.getInt(0)}: ${r.getLong(1)}"))
+            case other => sys.error(s"unknown --algo $other")
+          }
+
         case other =>
           System.err.println(s"unknown command: ${other.getOrElse("")}")
-          System.err.println("usage: convert|query|benchmark|search --input ... [options]")
+          System.err.println("usage: convert|query|benchmark|search|analyze --input ... [options]")
           sys.exit(2)
       }
-    } finally spark.stop()
+    }
   }
 }

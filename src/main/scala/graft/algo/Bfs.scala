@@ -60,6 +60,49 @@ object Bfs {
     visited
   }
 
+  /**
+   * Resumable single-source BFS: every superstep commits the visited set
+   * (id, parent, dist) through [[graft.state.Supersteps]]; the frontier IS
+   * the rows at the last committed depth, so resume needs no separate
+   * frontier table — kill the JVM at any depth, re-run, get the
+   * byte-identical final visited set (each superstep consumes the COMMITTED
+   * bytes of the previous one).
+   */
+  def distancesResumable(
+      edges: Dataset[Edge],
+      start: Long,
+      log: graft.state.Supersteps,
+      maxDepth: Int = Int.MaxValue): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.toDF()
+    var depth = log.lastCompleted.getOrElse(-1)
+    var visited =
+      if (depth < 0) {
+        val init = Seq((start, -1L, 0)).toDF("id", "parent", "dist")
+        depth = 0
+        log.commit(0, init, SuperstepMetric("bfs", 0, 1L, 0L, 0L, -1.0))
+      } else log.readState()
+    var frontierCount = visited.filter($"dist" === depth).count()
+    while (frontierCount > 0 && depth < maxDepth) {
+      val t0 = System.nanoTime()
+      val frontier = visited.filter($"dist" === depth)
+      val expanded = frontier
+        .join(e, frontier("id") === e("src"))
+        .select($"dst".as("id"), $"src".as("parent"), ($"dist" + 1).as("dist"))
+      val next = expanded
+        .join(visited.select($"id".as("vid")), $"id" === $"vid", "left_anti")
+        .groupBy($"id")
+        .agg(min($"parent").as("parent"), first($"dist").as("dist"))
+      depth += 1
+      val newVisited = visited.union(next)
+      visited = log.commit(depth, newVisited, SuperstepMetric(
+        "bfs", depth, 0L, 0L, (System.nanoTime() - t0) / 1000000L, -1.0))
+      frontierCount = visited.filter($"dist" === depth).count()
+    }
+    visited
+  }
+
   /** Result of a bidirectional search: vertex-id path start..end inclusive,
     * or None when unreachable. */
   def shortestPath(

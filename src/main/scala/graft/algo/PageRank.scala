@@ -127,12 +127,17 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     val edgeCount = edges.count()
+    // same physical shape as [[run]]: weight join hoisted out of the loop,
+    // edges pre-partitioned by src so supersteps shuffle only the rank side
     val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val edgesW = edges.join(outDeg, "src")
       .select($"src", $"dst", (lit(1.0) / $"deg").as("w"))
+      .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesW.count()
     val dangling = verts.join(edges.select($"src".as("id")).distinct(),
       Seq("id"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    val danglingCount = dangling.count()
 
     var iter = log.lastCompleted.getOrElse(-1)
     var ranks =
@@ -144,8 +149,10 @@ object PageRank {
     val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
     while (iter < maxIter) {
       val t0 = System.nanoTime()
-      val danglingMass = ranks.join(dangling, "id")
-        .agg(coalesce(sum($"rank"), lit(0.0))).as[Double].head()
+      val danglingMass =
+        if (danglingCount == 0) 0.0
+        else ranks.join(dangling, "id")
+          .agg(coalesce(sum($"rank"), lit(0.0))).as[Double].head()
       val contribs = ranks.join(edgesW, ranks("id") === edgesW("src"))
         .groupBy($"dst".as("id"))
         .agg(sum($"rank" * $"w").as("contrib"))
@@ -159,6 +166,10 @@ object PageRank {
       ranks = log.commit(iter, newRanks, m)
       metrics += m
     }
+    // release loop-scoped caches (ranks reads the committed table)
+    edgesW.unpersist()
+    dangling.unpersist()
+    verts.unpersist()
     Result(ranks, metrics.toSeq, iter)
   }
 

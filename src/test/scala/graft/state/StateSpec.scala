@@ -114,6 +114,35 @@ class StateSpec extends SparkTestBase {
         .as[(Long, Long)].collect().sorted.toSeq)
   }
 
+  test("resume: BFS interrupted at depth 2 equals uninterrupted distances exactly") {
+    import spark.implicits._
+    import graft.algo.Bfs
+    val rng = new java.util.Random(13)
+    val edges = (0 until 200).map(_ => (rng.nextInt(70).toLong, rng.nextInt(70).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val eds = spark.createDataset(edges.map(e => Edge(e._1, e._2)))
+
+    val full = Bfs.distancesResumable(eds, start = 0L,
+      new Supersteps(tmp(), "bfs", spark))
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+
+    val root = tmp()
+    Bfs.distancesResumable(eds, start = 0L,
+      new Supersteps(root, "bfs", spark), maxDepth = 2)
+    val log2 = new Supersteps(root, "bfs", spark)
+    assert(log2.lastCompleted.contains(2))
+    val resumed = Bfs.distancesResumable(eds, start = 0L, log2)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(full == resumed)
+
+    // and both equal the non-resumable superstep loop
+    val plain = Bfs.distances(eds, start = 0L)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(full == plain)
+    // lineage carries every depth
+    assert(log2.lineage.map(_("superstep").toInt).max >= 2)
+  }
+
   test("Supersteps: readState time-travels to a specific superstep") {
     import spark.implicits._
     val log = new Supersteps(tmp(), "demo", spark)
