@@ -33,6 +33,26 @@ object PlanAudit {
     // join: expect broadcast of the small dimension side
     show("join-revenue")(SparkEntry.queries("q_join_revenue")(spark, dir))
 
+    // exact near-dup: expect a shuffled equi-join on the block-pair key,
+    // NO CartesianProduct / BroadcastNestedLoopJoin anywhere
+    show("neardup-blocked")(
+      graft.pipeline.Similarity.embeddingNearDupPairs(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.45, blocks = 8))
+
+    // IVF assignment: expect broadcast centroids + partial/final HashAggregate
+    // (max_by), no Window, no extra Exchange beyond the final groupBy
+    show("ivf-assign")(
+      graft.pipeline.Similarity.ivfIndex(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding"))
+
+    // LSH probe: expect a hash equi-join on `bucket` with the probe side
+    // broadcast, corpus scanned once
+    val bucketed = graft.pipeline.Similarity.lshBucket(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", planes = 6)
+    show("lsh-probe")(
+      graft.pipeline.Similarity.lshCandidates(bucketed, Seq(0L, 1L), 6, 2))
+
     spark.stop()
   }
 }

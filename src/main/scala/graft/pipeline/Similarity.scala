@@ -100,7 +100,7 @@ object Similarity {
     * corpus on `bucket` — the corpus is scanned once and only matching
     * buckets produce candidates, vs a broadcast-NLJ `bit_count(xor)` filter
     * that would score every row. Exposed for plan-audit tests. */
-  private[pipeline] def lshCandidates(bucketed: DataFrame, queryIds: Seq[Long],
+  private[graft] def lshCandidates(bucketed: DataFrame, queryIds: Seq[Long],
       planes: Int, probeHamming: Int): DataFrame = {
     val spark = bucketed.sparkSession
     import spark.implicits._
@@ -150,8 +150,8 @@ object Similarity {
     * per-partition top-K + driver merge, never a global sort or window; the
     * nlist survivors are numbered on the driver (they are the rows a
     * k-means-style quantizer would hold driver-side to broadcast anyway). */
-  private def centroids(vectors: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long): DataFrame = {
+  private def centroidSeq(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long): Seq[(Int, Array[Float])] = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val top = vectors
@@ -161,28 +161,32 @@ object Similarity {
       .limit(nlist)
       .as[(Long, Long, Array[Float])]
       .collect()
-    val numbered = top.sortBy(t => (t._1, t._2)).zipWithIndex
+    top.sortBy(t => (t._1, t._2)).zipWithIndex
       .map { case ((_, _, v), i) => (i + 1, v) }.toSeq
-    spark.createDataset(numbered).toDF("cell", "cvec")
   }
 
-  /** Assign every vector to its nearest centroid: one broadcast of the
-    * nlist centroids, then a `max_by` partial aggregation per vector —
-    * map-side combine keeps the shuffle at one row per vector, vs a
-    * window that would shuffle all N×nlist scored rows. Tie-break matches
-    * the exact ranking convention: highest sim, then lowest cell. */
-  def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, seed: Long = 42L): DataFrame = {
+  private def centroids(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val cs = broadcast(centroids(vectors, idCol, vecCol, nlist, seed))
-    vectors.join(cs)
-      .withColumn("__sim", cosine(col(vecCol), $"cvec"))
-      .groupBy(col(idCol).as("id"))
-      .agg(max_by(
-        struct($"cell", col(vecCol).as("vec")),
-        struct($"__sim", (-$"cell").as("nc"))).as("best"))
-      .select($"id", $"best.vec".as("vec"), $"best.cell".as("cell"))
+    spark.createDataset(centroidSeq(vectors, idCol, vecCol, nlist, seed))
+      .toDF("cell", "cvec")
+  }
+
+  /** Assign every vector to its nearest centroid. The nlist centroids are
+    * already driver-resident (they'd be broadcast anyway), so assignment is
+    * a pure NARROW projection: `array_max` over the literal array of
+    * (sim, -cell) structs — zero shuffle, zero sort, fully codegen'd, one
+    * corpus scan. Tie-break matches the exact ranking convention: highest
+    * sim, then lowest cell (struct ordering on (sim, -cell)). */
+  def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L): DataFrame = {
+    val cs = centroidSeq(vectors, idCol, vecCol, nlist, seed)
+    val scored = array(cs.map { case (cell, cv) =>
+      struct(cosine(col(vecCol), typedlit(cv)).as("sim"),
+        lit(-cell).as("nc")) }: _*)
+    vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      (-array_max(scored).getField("nc")).as("cell"))
   }
 
   /** IVF top-k: probe the query's `nprobe` nearest cells, rank exactly

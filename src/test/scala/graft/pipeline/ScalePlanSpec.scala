@@ -53,7 +53,9 @@ class ScalePlanSpec extends SparkTestBase {
     val lazyIndexed = Similarity.ivfIndex(embs, "vec_id", "embedding", nlist = nlist)
     val plan = planOf(lazyIndexed)
     assert(!plan.contains("Window"),
-      s"assignment must aggregate, not window over N x nlist rows:\n$plan")
+      s"assignment must not window over N x nlist rows:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"assignment is a narrow projection — no shuffle expected:\n$plan")
     // reproduce the centroid choice independently (lowest xxhash64(id, 42)),
     // then check each vector's assigned cell is the true argmax
     val hashed = embs.select($"vec_id", xxhash64($"vec_id", lit(42L)).as("h"),
