@@ -21,6 +21,9 @@ import graft.query.{Interactive, Lookups, MissingBoth, MissingEnd, MissingStart,
  *             `Main.kt:32,341-384`)
  *   search   --input <warehouse> --prefix P [--limit K]
  *            (reference: wildcard lookup, `Main.kt:323`)
+ *   ingest   --input <pages_raw dir> --output <warehouse>
+ *            (beyond the reference: continuous convert — drains new crawl
+ *             files into idempotent fast-append commits; re-run to tail)
  *   analyze  --input <warehouse> --algo pagerank|cc|lpa|bfs
  *            [--state DIR] [--iters N] [--start URL]
  *            (beyond the reference: the north-rule iterative algorithms as
@@ -119,6 +122,21 @@ object Cli {
           Lookups.prefixTopK(routes.pages, prefix, k).foreach(p =>
             println(s"${p.id}\t${p.url}${if (p.isRedirect) "\t(redirect)" else ""}"))
 
+        case Some("ingest") =>
+          // continuous convert: drain new pages_raw files into the warehouse
+          // as fast-append commits (idempotent across re-runs/crashes)
+          val input = arg(args, "input").getOrElse(sys.error("--input required"))
+          val output = arg(args, "output").getOrElse(sys.error("--output required"))
+          val q = graft.streaming.IngestStream.run(spark, input, output)
+          q.awaitTermination()
+          val cat = new graft.tables.IcebergLite(output)
+          cat.currentSnapshot("links_raw") match {
+            case Some(s) => println(
+              s"links_raw at snapshot ${s.snapshotId}: ${s.rowCount} pages, " +
+                s"${s.files.size} data files, lastBatch=${s.properties.getOrElse("batchId", "?")}")
+            case None => println("no input files found; nothing committed")
+          }
+
         case Some("analyze") =>
           val wh = arg(args, "input").getOrElse(sys.error("--input required"))
           val algo = arg(args, "algo").getOrElse(sys.error("--algo required"))
@@ -174,7 +192,7 @@ object Cli {
 
         case other =>
           System.err.println(s"unknown command: ${other.getOrElse("")}")
-          System.err.println("usage: convert|query|benchmark|search|analyze --input ... [options]")
+          System.err.println("usage: convert|query|benchmark|search|ingest|analyze --input ... [options]")
           sys.exit(2)
       }
     }

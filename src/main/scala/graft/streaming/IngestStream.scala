@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.ExtractFunctions._
+import graft.tables.IcebergLite
+
+/**
+ * Continuous link-graph ingestion: `readStream` over a growing `pages_raw`
+ * directory, the SAME extraction transform the batch [[graft.graph.GraphBuilder]]
+ * applies (P2–P5 — so streamed and batch-converted corpora are
+ * byte-identical), committed per micro-batch to an Iceberg-lite table.
+ *
+ * The reference is strictly batch (convert once); a Common-Crawl-scale
+ * pipeline replays crawl segments as they land, which is this shape.
+ *
+ * Exactly-once table contents over at-least-once micro-batches, twice over:
+ *  - the file source's checkpoint tracks processed input files;
+ *  - the sink is IDEMPOTENT — each commit records its `batchId`, and a
+ *    replayed batch (crash between sink commit and checkpoint write) is
+ *    skipped, the standard foreachBatch idempotent-sink protocol.
+ * Each commit is an Iceberg-lite FAST APPEND: O(batch) files written,
+ * parent data untouched.
+ */
+object IngestStream {
+
+  /** The streaming-side extraction: identical columns to GraphBuilder's
+    * first pass (url normalization, redirect classification, per-page
+    * deduped links). */
+  def extracted(pagesRaw: DataFrame): DataFrame =
+    pagesRaw.select(
+      normalize_url(col("url")).as("url"),
+      col("warc_ts"),
+      extract_redirect(col("html"), col("url")).as("redirect_to"),
+      extract_links(col("html"), col("url")).as("links"))
+
+  /** Start the ingest stream over `inputDir`, appending each micro-batch to
+    * `<warehouse>/<table>`. `Trigger.AvailableNow` drains what exists and
+    * stops (tests, backfills); pass a processing-time trigger for a live
+    * tail. */
+  def run(spark: SparkSession, inputDir: String, warehouse: String,
+      table: String = "links_raw",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val cat = new IcebergLite(warehouse)
+    extracted(stream).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$warehouse/_checkpoints/$table")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val alreadyCommitted = cat.currentSnapshot(table)
+          .exists(_.properties.get("batchId").exists(_.toLong >= batchId))
+        if (!alreadyCommitted)
+          cat.append(batch, table, Map("batchId" -> batchId.toString))
+        ()
+      }
+      .start()
+  }
+}

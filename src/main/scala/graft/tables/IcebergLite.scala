@@ -42,19 +42,17 @@ class IcebergLite(rootDir: String) {
   private def dataDir(table: String, sid: Long): Path =
     tableDir(table).resolve("data").resolve(s"s$sid")
 
-  /** Commit `df` as the next snapshot of `table`. Returns the snapshot. */
-  def commit(df: DataFrame, table: String,
-      properties: Map[String, String] = Map.empty): Snapshot = {
-    val parent = currentSnapshot(table).map(_.snapshotId).getOrElse(-1L)
-    val sid = parent + 1
+  /** Write `df`'s data files for snapshot `sid`; returns (relative file
+    * paths, per-file row counts read from the parquet FOOTER — metadata-only,
+    * no scan jobs). */
+  private def writeData(df: DataFrame, table: String, sid: Long)
+      : (Seq[String], Map[Int, Long]) = {
     val dd = dataDir(table, sid)
     Files.createDirectories(dd.getParent)
     df.write.mode("overwrite").parquet(dd.toString)
     val files = Files.list(dd).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => tableDir(table).relativize(p).toString).toSeq.sorted
-    // per-partition lineage: rows per written file (file = output partition),
-    // read from the parquet FOOTER — metadata-only, no scan jobs
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val partRows: Map[Int, Long] = files.zipWithIndex.map { case (f, i) =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -62,7 +60,38 @@ class IcebergLite(rootDir: String) {
           new org.apache.hadoop.fs.Path(tableDir(table).resolve(f).toString), conf))
       try i -> reader.getRecordCount finally reader.close()
     }.toMap
+    (files, partRows)
+  }
+
+  /** Commit `df` as the next snapshot of `table` (full replacement — the
+    * superstep-state shape). Returns the snapshot. */
+  def commit(df: DataFrame, table: String,
+      properties: Map[String, String] = Map.empty): Snapshot = {
+    val parent = currentSnapshot(table).map(_.snapshotId).getOrElse(-1L)
+    val sid = parent + 1
+    val (files, partRows) = writeData(df, table, sid)
     val snap = Snapshot(sid, parent, files, partRows.values.sum, partRows, properties)
+    writeSnapshot(table, snap)
+    snap
+  }
+
+  /** Append `df`'s rows as the next snapshot (Iceberg's FAST APPEND: the
+    * parent's data files are retained untouched, only the new rows are
+    * written; the new snapshot's manifest lists old + new files). The shape
+    * a streaming micro-batch sink needs — per-batch cost is O(batch), never
+    * O(table). */
+  def append(df: DataFrame, table: String,
+      properties: Map[String, String] = Map.empty): Snapshot = {
+    val parentSnap = currentSnapshot(table)
+    val parent = parentSnap.map(_.snapshotId).getOrElse(-1L)
+    val sid = parent + 1
+    val (newFiles, newPartRows) = writeData(df, table, sid)
+    val baseFiles = parentSnap.map(_.files).getOrElse(Nil)
+    val offset = baseFiles.size
+    val partRows = parentSnap.map(_.partitionRows).getOrElse(Map.empty) ++
+      newPartRows.map { case (k, v) => (k + offset) -> v }
+    val snap = Snapshot(sid, parent, baseFiles ++ newFiles,
+      partRows.values.sum, partRows, properties)
     writeSnapshot(table, snap)
     snap
   }

@@ -32,6 +32,23 @@ class StateSpec extends SparkTestBase {
     assert(snaps.head.partitionRows.values.sum == 2)
   }
 
+  test("IcebergLite: fast append retains parent files and chains lineage") {
+    import spark.implicits._
+    val t = new IcebergLite(tmp())
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "log")
+    val s1 = t.append(Seq((3L, "c")).toDF("id", "v"), "log")
+    assert(s1.snapshotId == 1 && s1.parentId == 0)
+    // current = old + new rows; time travel still sees only the old
+    assert(t.read(spark, "log").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(t.read(spark, "log", 0).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // manifest lists parent files + new ones; lineage row counts add up
+    val s0 = t.snapshots("log").head
+    assert(s0.files.toSet.subsetOf(s1.files.toSet))
+    assert(s1.rowCount == 3 && s1.partitionRows.values.sum == 3)
+  }
+
   test("IcebergLite: json escaping round-trips hostile property values") {
     import spark.implicits._
     val t = new IcebergLite(tmp())

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.ingest.SynthCorpus
+import graft.tables.IcebergLite
+
+/** Streaming link ingest: streamed extraction must equal the batch
+  * extraction over the same pages, micro-batch commits must be idempotent,
+  * and new input files must land as incremental fast-appends. */
+class IngestStreamSpec extends SparkTestBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-ingest").toString
+
+  test("streamed == batch extraction; replays skipped; new files appended") {
+    import spark.implicits._
+    val inputDir = tmp()
+    val wh = tmp()
+    SynthCorpus.generate(spark, 300, seed = 42L).toDF()
+      .write.mode("append").parquet(inputDir)
+
+    val q1 = IngestStream.run(spark, inputDir, wh)
+    q1.awaitTermination()
+
+    val cat = new IcebergLite(wh)
+    def tableRows() = cat.read(spark, "links_raw")
+      .selectExpr("url", "coalesce(redirect_to, '∅')",
+        "explode_outer(links) as link")
+      .as[(String, String, String)].collect().toSet
+    val batchRows = IngestStream.extracted(spark.read.parquet(inputDir))
+      .selectExpr("url", "coalesce(redirect_to, '∅')",
+        "explode_outer(links) as link")
+      .as[(String, String, String)].collect().toSet
+    assert(tableRows() == batchRows && batchRows.nonEmpty)
+
+    // replay the whole stream: the checkpoint knows every input file is
+    // processed — no new snapshot, identical contents
+    val snaps = cat.snapshots("links_raw").size
+    val q2 = IngestStream.run(spark, inputDir, wh)
+    q2.awaitTermination()
+    assert(cat.snapshots("links_raw").size == snaps)
+    assert(tableRows() == batchRows)
+
+    // new crawl segment lands → exactly its rows are appended (fast append:
+    // previous files retained in the new manifest)
+    SynthCorpus.generate(spark, 80, seed = 7L).toDF()
+      .write.mode("append").parquet(inputDir)
+    val q3 = IngestStream.run(spark, inputDir, wh)
+    q3.awaitTermination()
+    val after = tableRows()
+    val batchAfter = IngestStream.extracted(spark.read.parquet(inputDir))
+      .selectExpr("url", "coalesce(redirect_to, '∅')",
+        "explode_outer(links) as link")
+      .as[(String, String, String)].collect().toSet
+    assert(after == batchAfter)
+    assert(batchRows.subsetOf(after) && after.size > batchRows.size)
+    val cur = cat.currentSnapshot("links_raw").get
+    assert(cur.parentId >= 0, "incremental commit must chain to the parent")
+  }
+}
