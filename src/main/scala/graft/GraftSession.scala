@@ -9,9 +9,12 @@ object GraftSession {
 
   def builder(cores: Int = 32, shufflePartitions: Int = -1): SparkSession.Builder = {
     val sp = if (shufflePartitions > 0) shufflePartitions else math.max(cores, 8)
-    SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft")
+    val b = SparkSession.builder()
+    // spark-submit propagates --master as the spark.master property; only
+    // default to local[] when launched bare (sbt run / tests) so a cluster
+    // submission's --master yarn/k8s is never clobbered
+    if (!sys.props.contains("spark.master")) b.master(s"local[$cores]")
+    b.appName("graft")
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
