@@ -183,7 +183,11 @@ object GraphBuilder {
         nullLinkCount = rawCount - resolved)
     }
 
+    // every ETL-scoped cache released; `edges` stays persisted (it is the
+    // returned product the caller queries), `pages` is checkpointed
     extracted.unpersist()
+    redirectMap.unpersist()
+    articleUrls.unpersist()
     LinkGraph(pages, edges, statsBefore, statsAfter)
   }
 
