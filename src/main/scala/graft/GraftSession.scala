@@ -14,6 +14,11 @@ object GraftSession {
     // default to local[] when launched bare (sbt run / tests) so a cluster
     // submission's --master yarn/k8s is never clobbered
     if (!sys.props.contains("spark.master")) b.master(s"local[$cores]")
+    // default the catalog warehouse off the repo cwd (bucketed tables land
+    // here in local mode); a submitted --conf always wins
+    if (!sys.props.contains("spark.sql.warehouse.dir"))
+      b.config("spark.sql.warehouse.dir",
+        System.getProperty("java.io.tmpdir") + "/graft-warehouse")
     b.appName("graft")
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.adaptive.enabled", "true")

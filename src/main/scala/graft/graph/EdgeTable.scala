@@ -55,6 +55,26 @@ object EdgeTable {
       .as[Adjacency]
   }
 
+  /**
+   * Persist a relation as a HASH-BUCKETED, per-bucket-sorted catalog table
+   * on `keyCol` — Spark-native co-location. The bucket spec is recorded in
+   * the catalog, so every equi-join between tables bucketed the same way on
+   * the key, and every `groupBy(keyCol)` aggregation over one, elides its
+   * Exchange entirely (asserted in BucketedSpec). This is the cluster-scale
+   * upgrade of [[bySrc]]'s range layout: range files prune point lookups via
+   * parquet min/max, bucketed tables additionally carry the partitioning
+   * PROPERTY Catalyst can plan against — the reference's "everything sorted
+   * in one mmap" contract, expressed as catalog metadata. `path` keeps the
+   * data external (caller-owned directory).
+   */
+  def saveBucketed(df: DataFrame, table: String, keyCol: String,
+      path: String, buckets: Int = 64): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(table)
+
   /** Out-degree per source (A2 analog on the transpose side:
     * `edges.groupBy(dst).count`). Partial (map-side) aggregation makes this
     * skew-immune — every mapper pre-combines hub keys. */
