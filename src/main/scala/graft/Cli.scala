@@ -24,7 +24,7 @@ import graft.query.{Interactive, Lookups, MissingBoth, MissingEnd, MissingStart,
  *   ingest   --input <pages_raw dir> --output <warehouse>
  *            (beyond the reference: continuous convert — drains new crawl
  *             files into idempotent fast-append commits; re-run to tail)
- *   analyze  --input <warehouse> --algo pagerank|cc|lpa|bfs
+ *   analyze  --input <warehouse> --algo pagerank|cc|lpa|triangles|bfs
  *            [--state DIR] [--iters N] [--start URL]
  *            (beyond the reference: the north-rule iterative algorithms as
  *             a spark-submit entrypoint; with --state every superstep
@@ -176,6 +176,9 @@ object Cli {
               }
               printSteps(res.metrics)
               println(s"communities: ${res.labels.select($"label").distinct().count()}")
+            case "triangles" =>
+              val res = graft.algo.TriangleCount.run(verts, graph.edges)
+              println(s"triangles: ${res.globalCount}")
             case "bfs" =>
               val startUrl = arg(args, "start").getOrElse(sys.error("--start required for bfs"))
               val start = Lookups.point(graph.pages, startUrl)
