@@ -352,6 +352,10 @@ object SparkEntry {
       Similarity.ivfTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L), k = 5, nlist = 16, nprobe = 4)),
 
+    "x_neardup_ivf" -> ((s, dir) =>
+      Similarity.embeddingNearDupIvf(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45, nlist = 16)),
+
     "x_media_features" -> { (s, dir) =>
       import s.implicits._
       Multimodal.extractFeatures(

@@ -274,4 +274,27 @@ object Similarity {
         .select($"a", $"b").distinct()
     }
   }
+
+  /**
+   * Cluster-scoped near-duplicate pairs — the SemDeDup shape, the practical
+   * 100 TB answer for thresholds BELOW the LSH-sound regime (τ < ~0.9, where
+   * [[embeddingNearDupPairs]]'s doc explains any recall-adequate LSH costs
+   * more than the exact join): quantize the corpus into IVF cells, compare
+   * only within a cell. Work drops from N²/2 to Σ cell² ≈ N²/nlist kernel
+   * evals; recall is whatever the quantizer captures (near-dup pairs
+   * co-locate strongly; MEASURED in PipelineSpec, never assumed). Exact
+   * verification inside the cell ⇒ no false positives.
+   */
+  def embeddingNearDupIvf(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, seed: Long = 42L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val indexed = ivfIndex(vectors, idCol, vecCol, nlist, seed)
+    val l = indexed.select($"id".as("a"), $"vec".as("va"), $"cell")
+    val r = indexed.select($"id".as("b"), $"vec".as("vb"), $"cell")
+    l.join(r, Seq("cell")).filter($"a" < $"b")
+      .filter(round(cosine($"va", $"vb"), 6) >= threshold)
+      .select($"a", $"b")
+  }
 }

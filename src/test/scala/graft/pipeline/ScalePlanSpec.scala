@@ -109,6 +109,27 @@ class ScalePlanSpec extends SparkTestBase {
   }
 
   // -------------------------------------------------------------------------
+  // IVF-celled near-dup (SemDeDup shape): exact-verified subset, measured recall
+  // -------------------------------------------------------------------------
+  test("IVF-celled near-dup ⊆ exact pairs; recall measured; equi-join plan") {
+    import spark.implicits._
+    val exact = Similarity.embeddingNearDupPairs(embs, "vec_id", "embedding",
+      threshold = 0.35, blocks = 8).as[(Long, Long)].collect().toSet
+    val celled = Similarity.embeddingNearDupIvf(embs, "vec_id", "embedding",
+      threshold = 0.35, nlist = 16)
+    val got = celled.as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact)) // exact in-cell verify ⇒ no false positives
+    assert(exact.size > 100, s"fixture too thin: ${exact.size} exact pairs")
+    val recall = got.size.toDouble / exact.size
+    // cluster-scoped comparison trades recall for N²→N²/nlist work; the
+    // floor documents what the quantizer captures on this corpus
+    assert(recall >= 0.15, s"IVF-celled recall $recall")
+    val plan = planOf(celled)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"cell-scoped near-dup must be an equi-join on cell:\n$plan")
+  }
+
+  // -------------------------------------------------------------------------
   // Stop-shingle cut: bounded candidates under a corpus-ubiquitous shingle
   // -------------------------------------------------------------------------
   test("jaccardCandidates: ubiquitous shingle bounded by maxPostings cut") {
