@@ -63,17 +63,18 @@ object Interactive {
         out.println("Must have at least one char before the wildcard")
       } else if (trimmed.endsWith("#")) {
         val prefix = trimmed.dropRight(1)
-        val matches = Lookups.prefixTopK(routes.pages, prefix, 10)
+        // driver-index binary search on interactive graphs (no Spark job)
+        val matches = routes.prefixSearch(prefix, 10)
         if (matches.isEmpty)
           out.println(s"No articles start with ${quote(prefix)}")
         else
           out.println(s"At least these articles start with ${quote(prefix)}: " +
-            matches.map(_.url).mkString(", "))
+            matches.mkString(", "))
       } else if (trimmed == "<") {
-        Lookups.randomPage(routes.pages, rng.nextLong()) match {
-          case Some(p) =>
-            out.println(s"Selected ${quote(p.url)} as $which page")
-            return Some(p.url)
+        routes.randomUrl(rng.nextLong()) match {
+          case Some(u) =>
+            out.println(s"Selected ${quote(u)} as $which page")
+            return Some(u)
           case None => out.println("No pages in this graph")
         }
       } else if (trimmed.nonEmpty && routes.hasPage(trimmed)) {

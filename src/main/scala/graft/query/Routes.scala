@@ -81,6 +81,59 @@ class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig,
     case None => resolve(url).isDefined
   }
 
+  /** Unsigned-UTF-8-byte string order — the SAME collation as Spark's
+    * UTF8String (and the reference's comparator, `BufferWikiPage.java:134-154`),
+    * so the driver index and the distributed `Lookups.prefixTopK` sort
+    * identically on any input (Java's natural String order would diverge on
+    * supplementary-plane characters). */
+  private[query] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** url array in unsigned-bytewise order — the driver analog of the
+    * reference's mmap'd sorted name index, built once per interactive graph. */
+  private lazy val sortedUrls: Option[Array[String]] =
+    urlIndex.map { case (byUrl, _) =>
+      val arr = byUrl.keySet.toArray(new Array[String](0))
+      java.util.Arrays.sort(arr, (a: String, b: String) => utf8Compare(a, b))
+      arr
+    }
+
+  /** Prefix top-K urls. Interactive graphs answer from the sorted driver
+    * index (binary search, no job — reference parity for the REPL's `#`
+    * listing); larger graphs fall through to the distributed
+    * TakeOrderedAndProject. Identical results either way (collation proven
+    * in RoutesSpec). */
+  def prefixSearch(prefix: String, k: Int = 10): Seq[String] = sortedUrls match {
+    case Some(arr) =>
+      var lo = 0; var hi = arr.length
+      while (lo < hi) { // leftmost insertion point of prefix
+        val mid = (lo + hi) >>> 1
+        if (utf8Compare(arr(mid), prefix) < 0) lo = mid + 1 else hi = mid
+      }
+      arr.iterator.slice(lo, arr.length).takeWhile(_.startsWith(prefix))
+        .take(k).toSeq
+    case None => Lookups.prefixTopK(pages, prefix, k).map(_.url)
+  }
+
+  /** Seeded random page url: uniform driver-index draw on interactive
+    * graphs, the distributed hash-order draw otherwise. */
+  def randomUrl(seed: Long): Option[String] = sortedUrls match {
+    case Some(arr) if arr.nonEmpty =>
+      Some(arr((new java.util.Random(seed).nextInt(Int.MaxValue)) % arr.length))
+    case Some(_) => None
+    case None => Lookups.randomPage(pages, seed).map(_.url)
+  }
+
   /** Shortest route as urls, start..end inclusive; empty = no route
     * (distinct from the missing-page errors). */
   @throws[MissingStart]

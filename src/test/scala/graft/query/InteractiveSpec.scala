@@ -55,6 +55,23 @@ class InteractiveSpec extends SparkTestBase {
     assert(printed.contains("""No articles start with "Zzz""""))
   }
 
+  test("driver prefix index == distributed TakeOrderedAndProject; utf8 collation") {
+    import spark.implicits._
+    for (p <- Seq("", "https://synth.example/wiki/", u("Gda"), "Zzz", u("Polska")))
+      assert(routes.prefixSearch(p, 10) ==
+        Lookups.prefixTopK(routes.pages, p, 10).map(_.url), s"prefix '$p'")
+    // collation parity: unsigned UTF-8 bytes, NOT Java's UTF-16 order.
+    // U+FFFD (EF BF BD) sorts BEFORE U+1F600 (F0 9F 98 80) bytewise, but
+    // AFTER it in UTF-16 code-unit order (D83D < FFFD).
+    val repl = "�"
+    val emoji = "😀"
+    assert(routes.utf8Compare(repl, emoji) < 0)
+    assert(repl.compareTo(emoji) > 0) // Java natural order disagrees...
+    val sparkOrder = Seq(emoji, repl).toDF("s").orderBy($"s")
+      .as[String].collect().toSeq
+    assert(sparkOrder == Seq(repl, emoji)) // ...and Spark agrees with utf8Compare
+  }
+
   test("missing-endpoint trio: start, end, and BOTH have distinct errors") {
     intercept[MissingStart](routes.findRoute("nope1", u("Polska")))
     intercept[MissingEnd](routes.findRoute(u("Polska"), "nope2"))
