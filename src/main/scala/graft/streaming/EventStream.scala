@@ -52,6 +52,22 @@ object EventStream {
       }
   }
 
+  /**
+   * Streaming exact dedup over a document stream: the FIRST arrival per
+   * content digest survives; later exact duplicates are dropped by the
+   * state-backed `dropDuplicatesWithinWatermark`. The streaming counterpart
+   * of [[graft.pipeline.Dedup.exact]] — a crawl pipeline dedups segments as
+   * they land instead of re-scanning the corpus. The watermark bounds the
+   * dedup state (at web scale unbounded digest state would OOM an executor;
+   * re-crawls of the same content arrive within the replay horizon).
+   */
+  def dedupStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String = "24 hours"): DataFrame =
+    docs.select(col(idCol), col(tsCol).cast("timestamp").as(tsCol),
+        graft.pipeline.TextAnalysis.fingerprintMd5(col(textCol)).as("digest"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Run a bounded streaming query over a parquet dir into a memory sink;
     * returns the collected result (test/demo harness). */
   def runBounded(spark: SparkSession, parquetDir: String, queryName: String): DataFrame = {
