@@ -102,8 +102,8 @@ object Cli {
           routes.pages.count(); routes.edgesOut.count(); routes.edgesIn.count()
           val rng = new java.util.Random(0xcafebabeL) // Benchmarking.java:15
           val times = (0 until n).map { _ =>
-            val a = Lookups.randomPage(routes.pages, rng.nextLong()).get.url
-            val b = Lookups.randomPage(routes.pages, rng.nextLong()).get.url
+            val a = routes.randomUrl(rng.nextLong()).get
+            val b = routes.randomUrl(rng.nextLong()).get
             val t0 = System.nanoTime()
             routes.findRoute(a, b)
             (System.nanoTime() - t0) / 1e6
