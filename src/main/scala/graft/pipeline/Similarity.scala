@@ -88,7 +88,7 @@ object Similarity {
   /** All XOR masks over `planes` bits with ≤ maxBits bits set — the
     * multi-probe bucket offsets, enumerated driver-side (data-independent;
     * Σ_{i≤maxBits} C(planes,i) values). */
-  private[pipeline] def probeMasks(planes: Int, maxBits: Int): Seq[Long] = {
+  private[graft] def probeMasks(planes: Int, maxBits: Int): Seq[Long] = {
     require(planes <= 30, "probe enumeration assumes a small plane count")
     (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= maxBits)
       .map(_.toLong)

@@ -81,23 +81,7 @@ class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig,
     case None => resolve(url).isDefined
   }
 
-  /** Unsigned-UTF-8-byte string order — the SAME collation as Spark's
-    * UTF8String (and the reference's comparator, `BufferWikiPage.java:134-154`),
-    * so the driver index and the distributed `Lookups.prefixTopK` sort
-    * identically on any input (Java's natural String order would diverge on
-    * supplementary-plane characters). */
-  private[query] def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  import Routes.utf8Compare
 
   /** url array in unsigned-bytewise order — the driver analog of the
     * reference's mmap'd sorted name index, built once per interactive graph. */
@@ -175,5 +159,25 @@ class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig,
       .select($"pos", $"url").as[(Int, String)]
       .collect().toMap
     ids.indices.map(byId)
+  }
+}
+
+object Routes {
+  /** Unsigned-UTF-8-byte string order — the SAME collation as Spark's
+    * UTF8String (and the reference's comparator, `BufferWikiPage.java:134-154`),
+    * so the driver index and the distributed `Lookups.prefixTopK` sort
+    * identically on any input (Java's natural String order would diverge on
+    * supplementary-plane characters). Property-tested in KernelProperties. */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.ingest.Extract
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+import graft.query.Routes
+
+/**
+ * Property-based tests (ScalaCheck) over the engine's pure kernels — the
+ * functions whose correctness the distributed operators inherit. These run
+ * without a SparkSession, so they cover input spaces the fixture corpora
+ * never reach (unicode edge cases, hostile byte strings, arbitrary ids).
+ */
+object KernelProperties extends Properties("kernels") {
+
+  // ---------------------------------------------------------------------------
+  // generators
+  // ---------------------------------------------------------------------------
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTP", "Https")
+    host <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(12))
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    segs <- Gen.listOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(6)))
+    slash <- Gen.oneOf("", "/")
+    frag <- Gen.oneOf("", "#x", "#sec/2")
+  } yield s"$scheme://$host$port" +
+    (if (segs.isEmpty) slash else segs.mkString("/", "/", slash)) + frag
+
+  private val hrefGen: Gen[String] = Gen.oneOf(
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),           // relative
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map("/" + _.mkString),     // root-rel
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map("//" + _.mkString),    // scheme-rel
+    urlGen,                                                          // absolute
+    Gen.oneOf("#frag", "mailto:x@y", "javascript:void(0)", "", "../a/./b"))
+
+  /** Valid unicode strings (no unpaired surrogates — UTF-8 encoding is then
+    * injective, which several properties rely on). */
+  private val unicodeGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(0x20, 0x7E),
+      3 -> Gen.choose(0xA0, 0xD7FF),
+      1 -> Gen.choose(0x10000, 0x10FFF)))
+      .map(_.flatMap(cp => Character.toChars(cp).toSeq).mkString)
+
+  private def sign(i: Int): Int = Integer.signum(i)
+
+  // ---------------------------------------------------------------------------
+  // url canonicalization (the graph's join key)
+  // ---------------------------------------------------------------------------
+
+  property("normalizeUrl is idempotent") = Prop.forAll(urlGen) { u =>
+    val once = Extract.normalizeUrl(u)
+    Extract.normalizeUrl(once) == once
+  }
+
+  property("normalizeUrl strips fragments, never throws on junk") =
+    Prop.forAll(Gen.oneOf(urlGen, unicodeGen)) { u =>
+      !Extract.normalizeUrl(u).contains("#")
+    }
+
+  property("resolveHref yields absolute-or-empty against an absolute base") =
+    Prop.forAll(urlGen, hrefGen) { (base, href) =>
+      val r = Extract.resolveHref(Extract.normalizeUrl(base), href)
+      r.isEmpty || r.contains("://")
+    }
+
+  // ---------------------------------------------------------------------------
+  // collation kernel behind the driver-side name index
+  // ---------------------------------------------------------------------------
+
+  property("utf8Compare: zero iff equal (UTF-8 injective on valid strings)") =
+    Prop.forAll(unicodeGen, unicodeGen) { (a, b) =>
+      (Routes.utf8Compare(a, b) == 0) == (a == b)
+    }
+
+  property("utf8Compare: antisymmetric and transitive") =
+    Prop.forAll(unicodeGen, unicodeGen, unicodeGen) { (a, b, c) =>
+      val ab = sign(Routes.utf8Compare(a, b))
+      val ba = sign(Routes.utf8Compare(b, a))
+      val antisym = ab == -ba
+      // transitivity over the sorted triple
+      val s = Seq(a, b, c).sortWith((x, y) => Routes.utf8Compare(x, y) < 0)
+      val trans = Routes.utf8Compare(s(0), s(2)) <= 0
+      antisym && trans
+    }
+
+  property("utf8Compare agrees with prefix order: a < a+suffix") =
+    Prop.forAll(unicodeGen, unicodeGen) { (a, suf) =>
+      suf.isEmpty || Routes.utf8Compare(a, a + suf) < 0
+    }
+
+  // ---------------------------------------------------------------------------
+  // simhash (near-dup signature)
+  // ---------------------------------------------------------------------------
+
+  property("simhash64 is token-order invariant (bag-of-tokens semantics)") =
+    Prop.forAll(Gen.listOf(Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString))) { ws =>
+      Dedup.simhash64(ws.mkString(" ")) == Dedup.simhash64(ws.reverse.mkString(" "))
+    }
+
+  property("simhash64 total: null/empty/whitespace all map to 0") =
+    Prop.forAll(Gen.chooseNum(0, 8)) { n =>
+      Dedup.simhash64(" " * n) == 0L && Dedup.simhash64(null) == 0L
+    }
+
+  // ---------------------------------------------------------------------------
+  // multimodal header parsing
+  // ---------------------------------------------------------------------------
+
+  property("parseDimensions: total on arbitrary bytes (None or parsed, no throw)") =
+    Prop.forAll(Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      Multimodal.parseDimensions(bs)
+      true
+    }
+
+  property("fakePayload roundtrips format/dims for any doc id") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue - 1)) { id =>
+      val parsed = Multimodal.parseDimensions(Multimodal.fakePayload(id, s"t$id"))
+      parsed.contains((
+        if (id % 3 == 0) "png" else "jpeg",
+        64 + (id % 8).toInt * 16,
+        64 + (id % 5).toInt * 16))
+    }
+
+  // ---------------------------------------------------------------------------
+  // LSH probe enumeration
+  // ---------------------------------------------------------------------------
+
+  private def binom(n: Int, k: Int): Long =
+    if (k < 0 || k > n) 0L
+    else (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+
+  property("probeMasks: exactly the ≤h-bit masks, distinct, Σ C(planes,i) of them") =
+    Prop.forAll(Gen.choose(1, 12), Gen.choose(0, 3)) { (planes, h) =>
+      val masks = Similarity.probeMasks(planes, h)
+      masks.distinct.size == masks.size &&
+        masks.size.toLong == (0 to h).map(binom(planes, _)).sum &&
+        masks.forall(m => java.lang.Long.bitCount(m) <= h && m < (1L << planes))
+    }
+}

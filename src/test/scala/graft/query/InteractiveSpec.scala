@@ -65,7 +65,7 @@ class InteractiveSpec extends SparkTestBase {
     // AFTER it in UTF-16 code-unit order (D83D < FFFD).
     val repl = "�"
     val emoji = "😀"
-    assert(routes.utf8Compare(repl, emoji) < 0)
+    assert(Routes.utf8Compare(repl, emoji) < 0)
     assert(repl.compareTo(emoji) > 0) // Java natural order disagrees...
     val sparkOrder = Seq(emoji, repl).toDF("s").orderBy($"s")
       .as[String].collect().toSeq
