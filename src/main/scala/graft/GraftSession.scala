@@ -14,6 +14,9 @@ object GraftSession {
     // default to local[] when launched bare (sbt run / tests) so a cluster
     // submission's --master yarn/k8s is never clobbered
     if (!sys.props.contains("spark.master")) b.master(s"local[$cores]")
+    // Catalyst plug-ins (portable-cosine → native-kernel rewrite); the same
+    // class loads on a cluster via --conf spark.sql.extensions
+    b.withExtensions(new graft.plans.GraftExtensions())
     // default the catalog warehouse off the repo cwd (bucketed tables land
     // here in local mode); a submitted --conf always wins
     if (!sys.props.contains("spark.sql.warehouse.dir"))

@@ -125,6 +125,15 @@ class PipelineSpec extends SparkTestBase {
 
   test("native cosine expression is bit-identical to the portable formulation") {
     import spark.implicits._
+    // keep the proof honest: CosineRewrite would substitute the kernel into
+    // the portable side, comparing the kernel with itself
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.CosineRewrite")
+    try cosineBitIdentity()
+    finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  private def cosineBitIdentity(): Unit = {
+    import spark.implicits._
     val pairs = embs.select($"vec_id".as("a_id"), $"embedding".as("va"))
       .crossJoin(embs.select($"vec_id".as("b_id"), $"embedding".as("vb")))
       .filter($"a_id" < $"b_id" && $"a_id" < 30)

@@ -158,6 +158,14 @@ class ScalePlanSpec extends SparkTestBase {
   // -------------------------------------------------------------------------
   test("cosine kernel: unequal lengths and null elements yield NULL like zip_with") {
     import spark.implicits._
+    // exclude the rewrite so "portable" really is the zip_with formulation
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.CosineRewrite")
+    try nullSemanticsParity()
+    finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  private def nullSemanticsParity(): Unit = {
+    import spark.implicits._
     val mism = spark.range(1).select(
       array(lit(1f), lit(2f)).as("a"),
       array(lit(1f), lit(2f), lit(3f)).as("b"))

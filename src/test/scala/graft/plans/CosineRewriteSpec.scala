@@ -1,0 +1,67 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+
+/** The SparkSessionExtensions-injected optimizer rule: the portable HOF
+  * cosine formulation must plan as the native codegen'd kernel, produce
+  * bit-identical values, and leave non-matching shapes alone. */
+class CosineRewriteSpec extends SparkTestBase {
+
+  private lazy val embs =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("portable formulation plans as the native kernel (rule injected)") {
+    import spark.implicits._
+    val q = embs.select($"vec_id",
+      Similarity.cosinePortable($"embedding", $"embedding").as("c"))
+    val plan = planOf(q)
+    assert(plan.contains("cosine_similarity"),
+      s"expected the kernel in the rewritten plan:\n$plan")
+    assert(!plan.contains("zip_with"), s"HOF survived the rewrite:\n$plan")
+    // and the rewrite changed nothing numerically: self-cosine == 1.0 ± fp
+    assert(q.select($"c").as[Double].collect().forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("rewritten values are bitwise-equal to the unrewritten formulation") {
+    import spark.implicits._
+    val expr = Similarity.cosinePortable($"va", $"vb").as("c")
+    val pairs = embs.select($"vec_id".as("a"), $"embedding".as("va"))
+      .crossJoin(embs.select($"vec_id".as("b"), $"embedding".as("vb")))
+      .filter($"a" < $"b" && $"a" < 20)
+    val rewritten = pairs.select($"a", $"b", expr)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.CosineRewrite")
+    val plain =
+      try pairs.select($"a", $"b", expr)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    assert(rewritten.length == plain.length && rewritten.nonEmpty)
+    rewritten.zip(plain).foreach { case ((a1, b1, c1), (a2, b2, c2)) =>
+      assert(a1 == a2 && b1 == b2)
+      assert(java.lang.Double.doubleToLongBits(c1) ==
+        java.lang.Double.doubleToLongBits(c2), s"pair ($a1,$b1)")
+    }
+  }
+
+  test("non-matching shapes are left alone (conservative match)") {
+    import spark.implicits._
+    // double arrays: the cast-to-double nodes the matcher requires are
+    // elided, so the formulation must NOT be rewritten (the kernel only
+    // accepts array<float>)
+    val doubles = spark.range(4).select(
+      array(col("id").cast("double"), lit(1.0)).as("a"),
+      array(lit(2.0), col("id").cast("double")).as("b"))
+    val dot = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (s, v) => s + v)
+    val na = sqrt(aggregate(transform($"a", x => x * x), lit(0.0), (s, v) => s + v))
+    val nb = sqrt(aggregate(transform($"b", x => x * x), lit(0.0), (s, v) => s + v))
+    val q = doubles.select((dot / (na * nb)).as("c"))
+    assert(!planOf(q).contains("cosine_similarity"))
+    q.collect() // and it still executes
+  }
+}
