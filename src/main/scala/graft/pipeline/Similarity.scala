@@ -89,9 +89,12 @@ object Similarity {
     * multi-probe bucket offsets, enumerated driver-side (data-independent;
     * Σ_{i≤maxBits} C(planes,i) values). */
   private[graft] def probeMasks(planes: Int, maxBits: Int): Seq[Long] = {
-    require(planes <= 30, "probe enumeration assumes a small plane count")
-    (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= maxBits)
-      .map(_.toLong)
+    require(planes > 0 && planes < 63, s"plane count out of range: $planes")
+    // combinatorial enumeration: Σ C(planes,i) masks generated directly,
+    // never a 2^planes scan
+    (0 to maxBits).flatMap(i =>
+      (0 until planes).combinations(i)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
   }
 
   /** Candidate generation for [[lshTopK]]: each query explodes into its
