@@ -180,6 +180,37 @@ object Multimodal {
     }
   }
 
+  /**
+   * Resize stage: cap the longer image side at `maxDim`, preserving aspect
+   * ratio (the standard training-data normalization step). The OUTPUT
+   * payload carries a genuine header with the new dimensions — parsed back
+   * by [[parseDimensions]], so downstream metadata still comes from bytes —
+   * while the pixel resampling itself is the declared stub (body bytes
+   * passed through). Rows already within bounds are returned untouched.
+   */
+  def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val (fmt, w, h) = parseDimensions(row.payload)
+          .getOrElse(("unknown", 0, 0))
+        if (fmt == "unknown" || math.max(w, h) <= maxDim) row
+        else {
+          val scale = maxDim.toDouble / math.max(w, h)
+          val nw = math.max(1, math.round(w * scale).toInt)
+          val nh = math.max(1, math.round(h * scale).toInt)
+          val head = if (fmt == "png") pngHeader(nw, nh) else jpegHeader(nw, nh)
+          val oldHeadLen = if (fmt == "png") 33 else 14
+          // real resampling happens HERE with a codec; body passed through
+          val payload = head ++ row.payload.drop(oldHeadLen)
+          MediaRow(row.doc_id, payload,
+            MediaMeta(fmt, nw, nh, payload.length.toLong))
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video-like payloads: deterministic every-nth-frame
     * selection recorded as (doc_id, frameIdx) rows. */
   def sampleFrames(features: Dataset[MediaFeatures], everyNth: Int = 2): DataFrame = {

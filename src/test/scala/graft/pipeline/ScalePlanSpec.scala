@@ -208,4 +208,28 @@ class ScalePlanSpec extends SparkTestBase {
       Multimodal.fakePayload(7L, "seven").length.toLong))
     assert(metas(9L).format == "png" && metas(9L).width == 64 + 16 && metas(9L).height == 64 + 4 * 16)
   }
+
+  test("resize caps the longer side, preserves aspect, dims re-parsed from bytes") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val media = Multimodal.withMedia(docs, "doc_id", "text")
+    val resized = Multimodal.resize(media, maxDim = 100).collect()
+    assert(resized.length == 40)
+    for (r <- resized) {
+      // metadata must round-trip through the rewritten header bytes
+      val parsed = Multimodal.parseDimensions(r.payload)
+      assert(parsed.contains((r.meta.format, r.meta.width, r.meta.height)),
+        s"doc ${r.doc_id}")
+      assert(math.max(r.meta.width, r.meta.height) <= 100, s"doc ${r.doc_id}")
+      // aspect preserved within rounding
+      val (ow, oh) = (64 + (r.doc_id % 8).toInt * 16, 64 + (r.doc_id % 5).toInt * 16)
+      if (math.max(ow, oh) <= 100) {
+        assert((r.meta.width, r.meta.height) == ((ow, oh))) // untouched
+      } else {
+        val s = 100.0 / math.max(ow, oh)
+        assert(r.meta.width == math.max(1, math.round(ow * s).toInt))
+        assert(r.meta.height == math.max(1, math.round(oh * s).toInt))
+      }
+    }
+  }
 }
