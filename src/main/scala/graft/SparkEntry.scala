@@ -320,6 +320,18 @@ object SparkEntry {
           $"meta.width".as("width"), $"meta.height".as("height"))
     },
 
+    "m_resize" -> { (s, dir) =>
+      // the resize stage's output dims, PARSED from the rewritten header
+      // bytes; the oracle recomputes them arithmetically
+      import s.implicits._
+      Multimodal.resize(
+        Multimodal.withMedia(tbl(s, dir, "documents"), "doc_id", "text"),
+        maxDim = 100)
+        .toDF()
+        .select($"doc_id", $"meta.format".as("format"),
+          $"meta.width".as("width"), $"meta.height".as("height"))
+    },
+
     // ----- flagship route semantics, oracle-gated: bidirectional BFS
     // shortest path on the derived graph, asserting the path LENGTH (the
     // path itself is non-unique; length is). -1 = unreachable.
@@ -570,5 +582,22 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format,
         |  CAST(64 + (doc_id % 8) * 16 AS INT) AS width,
         |  CAST(64 + (doc_id % 5) * 16 AS INT) AS height
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // FLOOR(x + 0.5) pins half-up rounding to match the JVM's math.round
+    "m_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |    CAST(64 + (doc_id % 8) * 16 AS INT) AS w0,
+        |    CAST(64 + (doc_id % 5) * 16 AS INT) AS h0
+        |  FROM documents)
+        |SELECT doc_id, format,
+        |  CAST(CASE WHEN GREATEST(w0, h0) <= 100 THEN w0
+        |    ELSE GREATEST(1, CAST(FLOOR(w0 * 100.0 / GREATEST(w0, h0) + 0.5) AS INT))
+        |  END AS INT) AS width,
+        |  CAST(CASE WHEN GREATEST(w0, h0) <= 100 THEN h0
+        |    ELSE GREATEST(1, CAST(FLOOR(h0 * 100.0 / GREATEST(w0, h0) + 0.5) AS INT))
+        |  END AS INT) AS height
+        |FROM dims""".stripMargin)
 }
