@@ -368,7 +368,10 @@ object SparkEntry {
       Similarity.embeddingNearDupIvf(tbl(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45, nlist = 16)),
 
-    "x_media_features" -> { (s, dir) =>
+    // feature-extract stage: the deterministic outputs (format from the
+    // byte-level header parse, frame count) are oracle-gated; the stubbed
+    // featureVec itself is covered by PipelineSpec determinism tests
+    "m_features" -> { (s, dir) =>
       import s.implicits._
       Multimodal.extractFeatures(
         Multimodal.withMedia(tbl(s, dir, "documents"), "doc_id", "text"), 16)
@@ -599,5 +602,11 @@ object SparkEntry {
         |  CAST(CASE WHEN GREATEST(w0, h0) <= 100 THEN h0
         |    ELSE GREATEST(1, CAST(FLOOR(h0 * 100.0 / GREATEST(w0, h0) + 0.5) AS INT))
         |  END AS INT) AS height
-        |FROM dims""".stripMargin)
+        |FROM dims""".stripMargin,
+
+    "m_features" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(1 + (doc_id % 4) AS INT) AS frames
+        |FROM documents""".stripMargin)
 }
