@@ -67,6 +67,31 @@ object KernelProperties extends Properties("kernels") {
     }
 
   // ---------------------------------------------------------------------------
+  // link extraction (the NORMATIVE byte-identical surface)
+  // ---------------------------------------------------------------------------
+
+  private val htmlGen: Gen[(String, String)] = for {
+    base <- urlGen.map(Extract.normalizeUrl)
+    hrefs <- Gen.listOf(hrefGen)
+    junk <- Gen.oneOf("", "<p>text</p>", "<a href=", "<<<>>>", "<a >no href</a>")
+  } yield (base,
+    "<html><body>" + junk +
+      hrefs.map(h => s"""<a href="$h">x</a>""").mkString + "</body></html>")
+
+  property("extractLinks: absolute, normalized, distinct, never the page itself") =
+    Prop.forAll(htmlGen) { case (base, html) =>
+      val links = Extract.extractLinks(html.getBytes("UTF-8"), base)
+      links.forall(l => l.nonEmpty && l.contains("://") &&
+        Extract.normalizeUrl(l) == l && l != base) &&
+        links.distinct == links
+    }
+
+  property("extractText: byte and string entry points agree; idempotent-safe") =
+    Prop.forAll(htmlGen) { case (_, html) =>
+      Extract.extractText(html.getBytes("UTF-8")) == Extract.extractText(html)
+    }
+
+  // ---------------------------------------------------------------------------
   // collation kernel behind the driver-side name index
   // ---------------------------------------------------------------------------
 
