@@ -32,18 +32,31 @@ import graft.query.{Interactive, Lookups, MissingBoth, MissingEnd, MissingStart,
  */
 object Cli {
 
+  /** Argument-validation failure: surfaces as one line + exit 2. A dedicated
+    * type so genuine runtime bugs (NumberFormatException, NPEs, Spark errors)
+    * still propagate with their stack traces instead of being swallowed. */
+  final case class UsageError(message: String) extends RuntimeException(message)
+
+  private def usageError(message: String): Nothing = throw UsageError(message)
+
   private def arg(args: Array[String], name: String): Option[String] = {
     val i = args.indexOf(s"--$name")
     if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
   }
+
+  private def intArg(args: Array[String], name: String): Option[Int] =
+    arg(args, name).map { v =>
+      try v.toInt
+      catch { case _: NumberFormatException => usageError(s"--$name expects an integer, got '$v'") }
+    }
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     try {
       run(spark, args)
     } catch {
-      // argument errors (sys.error) surface as one line, not a stack trace
-      case e: RuntimeException if e.getMessage != null =>
+      // argument errors only — anything else keeps its stack trace
+      case e: UsageError =>
         System.err.println(s"error: ${e.getMessage}")
         sys.exit(2)
     } finally spark.stop()
@@ -54,7 +67,7 @@ object Cli {
       args.headOption match {
         case Some("convert") =>
           val input = arg(args, "input").getOrElse("synth:2000")
-          val output = arg(args, "output").getOrElse(sys.error("--output required"))
+          val output = arg(args, "output").getOrElse(usageError("--output required"))
           val raw =
             if (input.startsWith("synth:"))
               SynthCorpus.generate(spark, input.stripPrefix("synth:").toLong).toDF()
@@ -68,7 +81,7 @@ object Cli {
           println(f"After cleanup:  articles=${a.articleCount} redirects=${a.redirectCount} links=${a.linkCount} dangling=${a.nullLinkCount} links/article=${a.linksPerArticle}%.2f")
 
         case Some("query") =>
-          val wh = arg(args, "input").getOrElse(sys.error("--input required"))
+          val wh = arg(args, "input").getOrElse(usageError("--input required"))
           val routes = new Routes(GraphTables.open(spark, wh))
           (arg(args, "from"), arg(args, "to")) match {
             case (Some(from), Some(to)) =>
@@ -96,8 +109,8 @@ object Cli {
           }
 
         case Some("benchmark") =>
-          val wh = arg(args, "input").getOrElse(sys.error("--input required"))
-          val n = arg(args, "measurements").map(_.toInt).getOrElse(50)
+          val wh = arg(args, "input").getOrElse(usageError("--input required"))
+          val n = intArg(args, "measurements").getOrElse(50)
           val routes = new Routes(GraphTables.open(spark, wh))
           routes.pages.count(); routes.edgesOut.count(); routes.edgesIn.count()
           val rng = new java.util.Random(0xcafebabeL) // Benchmarking.java:15
@@ -115,9 +128,9 @@ object Cli {
             f"Mean=$mean%.1f StdDev=$std%.1f Sum=${times.sum}%.1f (ms)")
 
         case Some("search") =>
-          val wh = arg(args, "input").getOrElse(sys.error("--input required"))
+          val wh = arg(args, "input").getOrElse(usageError("--input required"))
           val prefix = arg(args, "prefix").getOrElse("")
-          val k = arg(args, "limit").map(_.toInt).getOrElse(10)
+          val k = intArg(args, "limit").getOrElse(10)
           val routes = new Routes(GraphTables.open(spark, wh))
           Lookups.prefixTopK(routes.pages, prefix, k).foreach(p =>
             println(s"${p.id}\t${p.url}${if (p.isRedirect) "\t(redirect)" else ""}"))
@@ -125,10 +138,10 @@ object Cli {
         case Some("ingest") =>
           // continuous convert: drain new pages_raw files into the warehouse
           // as fast-append commits (idempotent across re-runs/crashes)
-          val input = arg(args, "input").getOrElse(sys.error("--input required"))
-          val output = arg(args, "output").getOrElse(sys.error("--output required"))
-          val q = graft.streaming.IngestStream.run(spark, input, output)
-          q.awaitTermination()
+          val input = arg(args, "input").getOrElse(usageError("--input required"))
+          val output = arg(args, "output").getOrElse(usageError("--output required"))
+          graft.streaming.IngestStream.run(spark, input, output)
+            .foreach(_.awaitTermination())
           val cat = new graft.tables.IcebergLite(output)
           cat.currentSnapshot("links_raw") match {
             case Some(s) => println(
@@ -138,9 +151,9 @@ object Cli {
           }
 
         case Some("analyze") =>
-          val wh = arg(args, "input").getOrElse(sys.error("--input required"))
-          val algo = arg(args, "algo").getOrElse(sys.error("--algo required"))
-          val iters = arg(args, "iters").map(_.toInt).getOrElse(10)
+          val wh = arg(args, "input").getOrElse(usageError("--input required"))
+          val algo = arg(args, "algo").getOrElse(usageError("--algo required"))
+          val iters = intArg(args, "iters").getOrElse(10)
           val graph = GraphTables.open(spark, wh)
           import spark.implicits._
           val verts = graph.pages.select($"id").toDF("id")
@@ -180,9 +193,9 @@ object Cli {
               val res = graft.algo.TriangleCount.run(verts, graph.edges)
               println(s"triangles: ${res.globalCount}")
             case "bfs" =>
-              val startUrl = arg(args, "start").getOrElse(sys.error("--start required for bfs"))
+              val startUrl = arg(args, "start").getOrElse(usageError("--start required for bfs"))
               val start = Lookups.point(graph.pages, startUrl)
-                .getOrElse(sys.error(s"no page $startUrl")).id
+                .getOrElse(usageError(s"no page $startUrl")).id
               val visited = log() match {
                 case Some(l) => graft.algo.Bfs.distancesResumable(graph.edges, start, l)
                 case None => graft.algo.Bfs.distances(graph.edges, start)
@@ -190,7 +203,7 @@ object Cli {
               println(s"reachable from $startUrl: ${visited.count()} pages; by depth:")
               visited.groupBy($"dist").count().orderBy($"dist").collect()
                 .foreach(r => println(s"  depth ${r.getInt(0)}: ${r.getLong(1)}"))
-            case other => sys.error(s"unknown --algo $other")
+            case other => usageError(s"unknown --algo $other")
           }
 
         case other =>

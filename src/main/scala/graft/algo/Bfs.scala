@@ -61,12 +61,16 @@ object Bfs {
   }
 
   /**
-   * Resumable single-source BFS: every superstep commits the visited set
-   * (id, parent, dist) through [[graft.state.Supersteps]]; the frontier IS
-   * the rows at the last committed depth, so resume needs no separate
-   * frontier table — kill the JVM at any depth, re-run, get the
-   * byte-identical final visited set (each superstep consumes the COMMITTED
-   * bytes of the previous one).
+   * Resumable single-source BFS with FRONTIER-DELTA commits: the visited set
+   * is monotone (a superstep only adds rows), so each superstep fast-appends
+   * ONLY the new frontier through [[graft.state.Supersteps.appendDelta]] —
+   * committed bytes per superstep ∝ |frontier|, not |visited| (at web-graph
+   * depth ~20 a full-visited commit would rewrite the table ~20×). The
+   * committed state stays the union of all deltas, so resume (and
+   * time-travel) read the identical visited set — kill the JVM at any depth,
+   * re-run, get the byte-identical final result. The frontier itself is
+   * re-read from the latest delta's files (O(frontier) input), and its row
+   * count comes from the commit manifest — no per-superstep count job.
    */
   def distancesResumable(
       edges: Dataset[Edge],
@@ -77,16 +81,21 @@ object Bfs {
     import spark.implicits._
     val e = edges.toDF()
     var depth = log.lastCompleted.getOrElse(-1)
-    var visited =
-      if (depth < 0) {
-        val init = Seq((start, -1L, 0)).toDF("id", "parent", "dist")
-        depth = 0
-        log.commit(0, init, SuperstepMetric("bfs", 0, 1L, 0L, 0L, -1.0))
-      } else log.readState()
-    var frontierCount = visited.filter($"dist" === depth).count()
+    var frontierCount = 0L
+    var visited: DataFrame = null
+    if (depth < 0) {
+      val init = Seq((start, -1L, 0)).toDF("id", "parent", "dist")
+      depth = 0
+      val (state, n) = log.appendDelta(0, init, SuperstepMetric("bfs", 0, 1L, 0L, 0L, -1.0))
+      visited = state; frontierCount = n
+    } else {
+      visited = log.readState()
+      frontierCount = log.lastAppendedRows.getOrElse(
+        visited.filter($"dist" === depth).count())
+    }
     while (frontierCount > 0 && depth < maxDepth) {
       val t0 = System.nanoTime()
-      val frontier = visited.filter($"dist" === depth)
+      val frontier = log.readDelta() // committed bytes of the last frontier
       val expanded = frontier
         .join(e, frontier("id") === e("src"))
         .select($"dst".as("id"), $"src".as("parent"), ($"dist" + 1).as("dist"))
@@ -95,10 +104,10 @@ object Bfs {
         .groupBy($"id")
         .agg(min($"parent").as("parent"), first($"dist").as("dist"))
       depth += 1
-      val newVisited = visited.union(next)
-      visited = log.commit(depth, newVisited, SuperstepMetric(
+      val (state, n) = log.appendDelta(depth, next, SuperstepMetric(
         "bfs", depth, 0L, 0L, (System.nanoTime() - t0) / 1000000L, -1.0))
-      frontierCount = visited.filter($"dist" === depth).count()
+      visited = state
+      frontierCount = n
     }
     visited
   }

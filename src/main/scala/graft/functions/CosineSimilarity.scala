@@ -24,8 +24,16 @@ import org.apache.spark.sql.{Column, GraftExpressionBridge, SparkSession}
  * null semantics: unequal-length arrays (zip_with null-pads the shorter
  * side ⇒ null dot) and null elements (null propagates through * and +)
  * both yield NULL here too, not a prefix-truncated number.
+ *
+ * Zero-norm divisor (a zero vector or an empty array) follows `Divide`
+ * exactly, NOT IEEE NaN: under ANSI (Spark 4's default) it raises
+ * DIVIDE_BY_ZERO, otherwise it is NULL — `failOnError` is captured from
+ * SQLConf at construction time, the same pattern as `Divide.failOnError`.
+ * Without this the [[graft.plans.CosineRewrite]] substitution would
+ * silently turn the portable form's error/NULL into NaN.
  */
-case class CosineSimilarity(left: Expression, right: Expression)
+case class CosineSimilarity(left: Expression, right: Expression,
+    failOnError: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -55,7 +63,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) {
+      if (failOnError) throw CosineSimilarity.divByZero() else null
+    } else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -83,7 +93,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    }
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${if (failOnError)
+                  s"throw graft.functions.CosineSimilarity.divByZero();"
+                else s"${ev.isNull} = true;"}
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    }
          |  }
          |}
        """.stripMargin
@@ -95,6 +111,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+  /** The exact error `Divide` raises on a zero divisor under ANSI (called
+    * from both the interpreted and the generated code path). */
+  def divByZero(): ArithmeticException = GraftExpressionBridge.divideByZeroError()
+
   /** Column-API binding. */
   def cosine_similarity(a: Column, b: Column): Column =
     GraftExpressionBridge.column(CosineSimilarity(

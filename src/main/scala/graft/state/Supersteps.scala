@@ -54,10 +54,51 @@ class Supersteps(root: String, algo: String, spark: SparkSession) {
     tables.read(spark, stateTable)
   }
 
-  /** Full lineage log: one row per committed superstep. */
+  /**
+   * Append-only superstep commit for MONOTONE state (BFS visited sets: each
+   * superstep only ADDS rows): writes ONLY `delta` as an Iceberg fast
+   * append — O(frontier) bytes per superstep, not O(visited); the full state
+   * stays the union of all appended files, so `readState`/time-travel are
+   * unchanged. Returns the committed full state plus the delta's committed
+   * row count, read from the new files' parquet footers — no count job.
+   * `rowsOut` in the lineage comes from the same manifest figure.
+   */
+  def appendDelta(superstep: Int, delta: DataFrame, m: SuperstepMetric)
+      : (DataFrame, Long) = {
+    val snap = tables.append(delta, stateTable, Map(
+      "algo" -> algo,
+      "superstep" -> superstep.toString,
+      "edgesProcessed" -> m.edgesProcessed.toString,
+      "wallMs" -> m.wallMs.toString,
+      "delta" -> m.delta.toString))
+    (tables.read(spark, stateTable), snap.properties("appendedRows").toLong)
+  }
+
+  /** Only the rows appended at `superstep` (default: the latest) — for
+    * delta-committed algorithms this IS the committed frontier, O(frontier)
+    * input. */
+  def readDelta(superstep: Int = -1): DataFrame = {
+    if (superstep < 0) tables.readAppended(spark, stateTable)
+    else {
+      val snap = tables.snapshots(stateTable)
+        .find(_.properties("superstep").toInt == superstep)
+        .getOrElse(sys.error(s"superstep $superstep not committed for $algo"))
+      tables.readAppended(spark, stateTable, snap.snapshotId)
+    }
+  }
+
+  /** Row count of the latest committed delta, from the manifest (no job). */
+  def lastAppendedRows: Option[Long] =
+    tables.currentSnapshot(stateTable)
+      .flatMap(_.properties.get("appendedRows")).map(_.toLong)
+
+  /** Full lineage log: one row per committed superstep. Delta commits carry
+    * no explicit rowsOut metric — the manifest's appendedRows is the true
+    * per-superstep output, so it backfills rowsOut. */
   def lineage: Seq[Map[String, String]] =
     tables.snapshots(stateTable).map { s =>
-      s.properties ++ Map(
+      s.properties.get("appendedRows").map(r => Map("rowsOut" -> r)).getOrElse(Map.empty) ++
+        s.properties ++ Map(
         "snapshotId" -> s.snapshotId.toString,
         "rowCount" -> s.rowCount.toString,
         "partitions" -> s.partitionRows.size.toString)

@@ -39,14 +39,18 @@ object IngestStream {
   /** Start the ingest stream over `inputDir`, appending each micro-batch to
     * `<warehouse>/<table>`. `Trigger.AvailableNow` drains what exists and
     * stops (tests, backfills); pass a processing-time trigger for a live
-    * tail. */
+    * tail. Returns None when `inputDir` has no parquet files yet (schema
+    * inference needs at least one footer) — the "nothing to ingest" outcome
+    * the CLI reports instead of an AnalysisException. */
   def run(spark: SparkSession, inputDir: String, warehouse: String,
       table: String = "links_raw",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val schema = spark.read.parquet(inputDir).schema
+      trigger: Trigger = Trigger.AvailableNow()): Option[StreamingQuery] = {
+    val schema =
+      try spark.read.parquet(inputDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => return None }
     val stream = spark.readStream.schema(schema).parquet(inputDir)
     val cat = new IcebergLite(warehouse)
-    extracted(stream).writeStream
+    Some(extracted(stream).writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$warehouse/_checkpoints/$table")
       .trigger(trigger)
@@ -57,6 +61,6 @@ object IngestStream {
           cat.append(batch, table, Map("batchId" -> batchId.toString))
         ()
       }
-      .start()
+      .start())
   }
 }

@@ -79,7 +79,9 @@ class IcebergLite(rootDir: String) {
     * parent's data files are retained untouched, only the new rows are
     * written; the new snapshot's manifest lists old + new files). The shape
     * a streaming micro-batch sink needs — per-batch cost is O(batch), never
-    * O(table). */
+    * O(table). The snapshot records `appendedRows` (summed from the new
+    * files' parquet footers — metadata-only) so callers get the delta's row
+    * count without a count job. */
   def append(df: DataFrame, table: String,
       properties: Map[String, String] = Map.empty): Snapshot = {
     val parentSnap = currentSnapshot(table)
@@ -91,9 +93,28 @@ class IcebergLite(rootDir: String) {
     val partRows = parentSnap.map(_.partitionRows).getOrElse(Map.empty) ++
       newPartRows.map { case (k, v) => (k + offset) -> v }
     val snap = Snapshot(sid, parent, baseFiles ++ newFiles,
-      partRows.values.sum, partRows, properties)
+      partRows.values.sum, partRows,
+      properties + ("appendedRows" -> newPartRows.values.sum.toString))
     writeSnapshot(table, snap)
     snap
+  }
+
+  /** Read ONLY the rows a snapshot appended over its parent (its manifest
+    * minus the parent's) — O(delta) input, never O(table). Defaults to the
+    * current snapshot's delta; a full-replacement commit's delta is the
+    * whole snapshot. */
+  def readAppended(spark: SparkSession, table: String,
+      snapshotId: Long = -1L): DataFrame = {
+    val snap =
+      if (snapshotId >= 0) readSnapshot(table, snapshotId)
+        .getOrElse(sys.error(s"no snapshot $snapshotId for $table"))
+      else currentSnapshot(table)
+        .getOrElse(sys.error(s"table $table has no snapshots"))
+    val parentFiles: Set[String] =
+      if (snap.parentId < 0) Set.empty
+      else readSnapshot(table, snap.parentId).map(_.files.toSet).getOrElse(Set.empty)
+    val fresh = snap.files.filterNot(parentFiles)
+    spark.read.parquet(fresh.map(f => tableDir(table).resolve(f).toString): _*)
   }
 
   /** Read a table at its current (or an explicit) snapshot. */

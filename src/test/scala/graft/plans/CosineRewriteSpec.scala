@@ -48,6 +48,32 @@ class CosineRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("zero-norm / empty arrays follow Divide: ANSI throws, legacy NULL") {
+    import spark.implicits._
+    def chain(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .map(t => String.valueOf(t.getMessage)).toSeq
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (Array.empty[Float], Array.empty[Float])).toDF("va", "vb")
+    // ANSI (the Spark 4 session default): both formulations raise
+    // DIVIDE_BY_ZERO — the kernel must never leak an IEEE NaN instead
+    val kErr = intercept[Exception] {
+      df.select(Similarity.cosine($"va", $"vb")).collect() }
+    assert(chain(kErr).exists(_.contains("DIVIDE_BY_ZERO")), chain(kErr).mkString(" | "))
+    val pErr = intercept[Exception] {
+      df.select(Similarity.cosinePortable($"va", $"vb")).collect() }
+    assert(chain(pErr).exists(_.contains("DIVIDE_BY_ZERO")), chain(pErr).mkString(" | "))
+    // legacy mode: Divide's null-on-zero-divisor, bit-identically NULL on
+    // both paths (columns built AFTER the conf flip so failOnError=false)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val k = df.select(Similarity.cosine($"va", $"vb").as("c")).collect()
+      val p = df.select(Similarity.cosinePortable($"va", $"vb").as("c")).collect()
+      assert(k.forall(_.isNullAt(0)), s"kernel must be NULL, got ${k.mkString(",")}")
+      assert(p.forall(_.isNullAt(0)), s"portable must be NULL, got ${p.mkString(",")}")
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
+
   test("non-matching shapes are left alone (conservative match)") {
     import spark.implicits._
     // double arrays: the cast-to-double nodes the matcher requires are

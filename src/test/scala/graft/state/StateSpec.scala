@@ -158,6 +158,28 @@ class StateSpec extends SparkTestBase {
     assert(full == plain)
     // lineage carries every depth
     assert(log2.lineage.map(_("superstep").toInt).max >= 2)
+
+    // FRONTIER-DELTA commits: superstep k appends exactly the depth-k
+    // frontier (committed bytes ∝ frontier, not visited), file manifests
+    // chain as fast appends (parent files never rewritten), and the lineage
+    // reports the true per-depth rowsOut from the manifest
+    val byDepth = resumed.groupBy(_._3).map { case (d, rows) => d -> rows.size.toLong }
+    val cat = new IcebergLite(root)
+    val snaps = cat.snapshots("bfs_state")
+    assert(snaps.size >= 3)
+    snaps.sliding(2).foreach { case Seq(p, c) =>
+      assert(p.files.toSet.subsetOf(c.files.toSet),
+        s"snapshot ${c.snapshotId} rewrote parent files")
+    }
+    snaps.foreach { s =>
+      val k = s.properties("superstep").toInt
+      val appended = s.properties("appendedRows").toLong
+      assert(appended == byDepth.getOrElse(k, 0L),
+        s"superstep $k committed $appended rows, frontier is ${byDepth.getOrElse(k, 0L)}")
+    }
+    assert(log2.lineage.forall(m => m("rowsOut") == m("appendedRows")))
+    // the committed delta alone IS the frontier
+    assert(log2.readDelta(1).as[(Long, Long, Int)].collect().forall(_._3 == 1))
   }
 
   test("Supersteps: readState time-travels to a specific superstep") {

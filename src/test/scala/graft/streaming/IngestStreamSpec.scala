@@ -22,7 +22,7 @@ class IngestStreamSpec extends SparkTestBase {
       .write.mode("append").parquet(inputDir)
 
     val q1 = IngestStream.run(spark, inputDir, wh)
-    q1.awaitTermination()
+    q1.get.awaitTermination()
 
     val cat = new IcebergLite(wh)
     def tableRows() = cat.read(spark, "links_raw")
@@ -39,7 +39,7 @@ class IngestStreamSpec extends SparkTestBase {
     // processed — no new snapshot, identical contents
     val snaps = cat.snapshots("links_raw").size
     val q2 = IngestStream.run(spark, inputDir, wh)
-    q2.awaitTermination()
+    q2.get.awaitTermination()
     assert(cat.snapshots("links_raw").size == snaps)
     assert(tableRows() == batchRows)
 
@@ -48,7 +48,7 @@ class IngestStreamSpec extends SparkTestBase {
     SynthCorpus.generate(spark, 80, seed = 7L).toDF()
       .write.mode("append").parquet(inputDir)
     val q3 = IngestStream.run(spark, inputDir, wh)
-    q3.awaitTermination()
+    q3.get.awaitTermination()
     val after = tableRows()
     val batchAfter = IngestStream.extracted(spark.read.parquet(inputDir))
       .selectExpr("url", "coalesce(redirect_to, '∅')",
@@ -58,5 +58,12 @@ class IngestStreamSpec extends SparkTestBase {
     assert(batchRows.subsetOf(after) && after.size > batchRows.size)
     val cur = cat.currentSnapshot("links_raw").get
     assert(cur.parentId >= 0, "incremental commit must chain to the parent")
+  }
+
+  test("empty or missing input dir starts no query and commits nothing") {
+    val wh = tmp()
+    assert(IngestStream.run(spark, tmp(), wh).isEmpty)           // empty dir
+    assert(IngestStream.run(spark, tmp() + "/nope", wh).isEmpty) // missing dir
+    assert(new IcebergLite(wh).snapshots("links_raw").isEmpty)
   }
 }
