@@ -53,6 +53,13 @@ object PlanAudit {
     show("lsh-probe")(
       graft.pipeline.Similarity.lshCandidates(bucketed, Seq(0L, 1L), 6, 2))
 
+    // ANN ranking: expect partial_topk_by + topk_by ObjectHashAggregate
+    // (bounded heap, map-side combine), NO Window anywhere
+    show("ann-rank-topk")(
+      graft.pipeline.Similarity.bruteForceTopK(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", Seq(0L, 1L, 2L), k = 5))
+
     spark.stop()
   }
 }

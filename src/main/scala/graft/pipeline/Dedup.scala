@@ -188,18 +188,37 @@ object Dedup {
   // SimHash (JVM hashing; driver-oracle-tested, no SQL oracle)
   // ---------------------------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens using FNV-1a per-token hashes. */
+  /** The six characters Java regex `\s` matches (NOT Unicode whitespace). */
+  @inline private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** 64-bit SimHash over whitespace tokens using FNV-1a per-token hashes.
+    *
+    * Tokenization is a manual scan equivalent to `trim.split("\\s+")`
+    * (trim strips leading/trailing chars ≤ U+0020; separators are exactly
+    * regex `\s`) — the split version compiled its regex and allocated a
+    * token array on EVERY row, which dominated the cold-start cost of the
+    * simhash scan (KernelProperties asserts the equivalence). */
   def simhash64(text: String): Long = {
     if (text == null) return 0L
-    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-    if (toks.isEmpty) return 0L
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) <= ' ') lo += 1      // String.trim
+    while (hi > lo && text.charAt(hi - 1) <= ' ') hi -= 1
+    if (lo >= hi) return 0L
     val acc = new Array[Int](64)
-    for (t <- toks) {
-      val h = TextAnalysis.fnv1a64(t)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-        b += 1
+    var i = lo
+    while (i < hi) {
+      while (i < hi && isRegexSpace(text.charAt(i))) i += 1
+      val start = i
+      while (i < hi && !isRegexSpace(text.charAt(i))) i += 1
+      if (i > start) {
+        val h = TextAnalysis.fnv1a64(text.substring(start, i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
       }
     }
     var out = 0L

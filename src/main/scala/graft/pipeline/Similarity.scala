@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
  *  - [[cosine]]: codegen'd column expression (zip_with + aggregate), doubles
  *    throughout for cross-engine reproducibility
  *  - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set,
- *    rank per query with a window; ranking key is round(cos,6) then id so
- *    float noise can't flip orders across engines
+ *    rank per query with the bounded-heap [[graft.functions.TopKByScore]]
+ *    aggregate (map-side combine, no Window); ranking key is round(cos,6)
+ *    then id so float noise can't flip orders across engines
  *  - [[lshTopK]]: the scale path — random-hyperplane LSH buckets (planes are
  *    a pure function of (seed, plane, dim): no data-dependent state), search
  *    only the query's bucket ± optional multi-probe; recall measured vs
@@ -37,6 +38,23 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Rank (q, neighbor, cos) candidates into (q, rank, neighbor, cos) with
+    * the bounded-heap aggregate [[graft.functions.TopKByScore]] — an
+    * ObjectHashAggregate with map-side combine, never a Window: a
+    * `row_number() over (partition by q)` window puts one query's ENTIRE
+    * candidate set on one reducer and sorts it, while the heap keeps k rows
+    * per partition per query and merges partials. Tie-break is the ranking
+    * convention everywhere in this file: cos desc, then neighbor asc. */
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    cand.groupBy($"q")
+      .agg(graft.functions.TopKByScore.topk_by($"cos", $"neighbor", k).as("top"))
+      .select($"q", posexplode($"top"))
+      .select($"q", ($"pos" + 1).cast("int").as("rank"),
+        $"col.neighbor".as("neighbor"), $"col.score".as("cos"))
+  }
+
   /**
    * Exact top-k neighbors for each query id. `queries` is a subset of
    * `vectors` by id (typical eval shape). Output: (q, rank, neighbor).
@@ -47,17 +65,13 @@ object Similarity {
       queryIds: Seq[Long], k: Int = 10): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val qs = broadcast(vectors
       .filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("q"), col(vecCol).as("qv")))
     val scored = vectors.join(qs, col(idCol) =!= $"q")
       .select($"q", col(idCol).as("neighbor"),
         round(cosine($"qv", col(vecCol)), 6).as("cos"))
-    val w = Window.partitionBy($"q").orderBy($"cos".desc, $"neighbor")
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"q", $"rank", $"neighbor", $"cos")
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (seed, plane, dim):
@@ -67,16 +81,18 @@ object Similarity {
     if ((h & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** Random-hyperplane signature: `planes`-bit bucket id per vector. */
+  /** Random-hyperplane signature: `planes`-bit bucket id per vector. Pass
+    * the embedding dimensionality as `dim` when known — the fallback sniffs
+    * it with a `first()` job (one extra tiny Spark job per call). */
   def lshBucket(vectors: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 8, seed: Long = 42L): DataFrame = {
+      planes: Int = 8, seed: Long = 42L, dim: Int = -1): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val dim = vectors.select(size(col(vecCol))).first().getInt(0)
+    val d = if (dim > 0) dim else vectors.select(size(col(vecCol))).first().getInt(0)
     val planeCols = (0 until planes).map { p =>
       // sign(dot) == sign(cosine): reuse the native codegen'd kernel
-      val signs = array((0 until dim).map(d =>
-        lit(planeSign(seed, p, d).toFloat)): _*)
+      val signs = array((0 until d).map(i =>
+        lit(planeSign(seed, p, i).toFloat)): _*)
       val side = graft.functions.CosineSimilarity
         .cosine_similarity(col(vecCol), signs) >= 0
       when(side, lit(1L << p)).otherwise(lit(0L))
@@ -125,18 +141,13 @@ object Similarity {
   def lshTopK(
       vectors: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int = 10, planes: Int = 8,
-      probeHamming: Int = 1, seed: Long = 42L): DataFrame = {
+      probeHamming: Int = 1, seed: Long = 42L, dim: Int = -1): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val bucketed = lshBucket(vectors, idCol, vecCol, planes, seed).persist()
+    val bucketed = lshBucket(vectors, idCol, vecCol, planes, seed, dim).persist()
     val cand = lshCandidates(bucketed, queryIds, planes, probeHamming)
-    val w = Window.partitionBy($"q").orderBy($"cos".desc, $"neighbor")
-    val out = cand.select($"q", $"id".as("neighbor"),
-        round(cosine($"qv", $"vec"), 6).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"q", $"rank", $"neighbor", $"cos")
+    val out = rankTopK(cand.select($"q", $"id".as("neighbor"),
+        round(cosine($"qv", $"vec"), 6).as("cos")), k)
       .localCheckpoint(true)
     bucketed.unpersist()
     out
@@ -168,23 +179,68 @@ object Similarity {
       .map { case ((_, _, v), i) => (i + 1, v) }.toSeq
   }
 
-  private def centroids(vectors: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long): DataFrame = {
+  /**
+   * Lloyd-trained coarse quantizer: `lloydIters` rounds of assign →
+   * per-cell mean over a bounded deterministic sample, seeded from the
+   * hash-pick ([[centroidSeq]]). `lloydIters = 0` returns the raw hash pick.
+   *
+   * Determinism at any parallelism: per-dimension means are summed in
+   * DECIMAL — decimal addition is exact and order-independent, where a
+   * double sum's rounding depends on shuffle merge order — then divided
+   * once driver-side (HALF_UP, scale 10) and rounded to float. Two runs on
+   * the same data, any partitioning, produce bit-identical centroids.
+   *
+   * Scale: training reads the `trainSample` hash-lowest vectors
+   * (TakeOrderedAndProject — per-partition top-K, no global sort), so the
+   * quantizer costs O(sample × nlist × iters) regardless of corpus size;
+   * the standard sample-then-train shape of IVF builds. Empty cells keep
+   * their previous centroid.
+   */
+  def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L, lloydIters: Int = 2,
+      trainSample: Int = 100000): Seq[(Int, Array[Float])] = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    spark.createDataset(centroidSeq(vectors, idCol, vecCol, nlist, seed))
-      .toDF("cell", "cvec")
+    var cs = centroidSeq(vectors, idCol, vecCol, nlist, seed)
+    if (lloydIters <= 0) return cs
+    val sample = vectors
+      .withColumn("__h", xxhash64(col(idCol), lit(seed ^ 0x11fL)))
+      .orderBy($"__h", col(idCol))
+      .limit(trainSample)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist()
+    try {
+      for (_ <- 0 until lloydIters) {
+        val sums = assignCells(sample, "id", "vec", cs)
+          .select($"cell", posexplode($"vec").as(Seq("pos", "v")))
+          .groupBy($"cell", $"pos")
+          .agg(sum($"v".cast("decimal(28,10)")).as("s"), count(lit(1)).as("n"))
+          .collect() // nlist × dim rows — quantizer-sized, driver-resident
+        val means: Map[Int, Array[Float]] =
+          sums.groupBy(_.getAs[Int]("cell")).map { case (cell, rows) =>
+            val arr = new Array[Float](rows.map(_.getAs[Int]("pos")).max + 1)
+            rows.foreach { r =>
+              arr(r.getAs[Int]("pos")) = r.getAs[java.math.BigDecimal]("s")
+                .divide(java.math.BigDecimal.valueOf(r.getAs[Long]("n")),
+                  10, java.math.RoundingMode.HALF_UP)
+                .floatValue()
+            }
+            cell -> arr
+          }
+        cs = cs.map { case (cell, old) => (cell, means.getOrElse(cell, old)) }
+      }
+      cs
+    } finally sample.unpersist()
   }
 
   /** Assign every vector to its nearest centroid. The nlist centroids are
-    * already driver-resident (they'd be broadcast anyway), so assignment is
-    * a pure NARROW projection: `array_max` over the literal array of
-    * (sim, -cell) structs — zero shuffle, zero sort, fully codegen'd, one
-    * corpus scan. Tie-break matches the exact ranking convention: highest
-    * sim, then lowest cell (struct ordering on (sim, -cell)). */
-  def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, seed: Long = 42L): DataFrame = {
-    val cs = centroidSeq(vectors, idCol, vecCol, nlist, seed)
+    * driver-resident (they'd be broadcast anyway), so assignment is a pure
+    * NARROW projection: `array_max` over the literal array of (sim, -cell)
+    * structs — zero shuffle, zero sort, fully codegen'd, one corpus scan.
+    * Tie-break matches the exact ranking convention: highest sim, then
+    * lowest cell (struct ordering on (sim, -cell)). */
+  private[graft] def assignCells(vectors: DataFrame, idCol: String,
+      vecCol: String, cs: Seq[(Int, Array[Float])]): DataFrame = {
     val scored = array(cs.map { case (cell, cv) =>
       struct(cosine(col(vecCol), typedlit(cv)).as("sim"),
         lit(-cell).as("nc")) }: _*)
@@ -192,32 +248,41 @@ object Similarity {
       (-array_max(scored).getField("nc")).as("cell"))
   }
 
+  /** IVF cell assignment over Lloyd-trained centroids (`lloydIters = 0` for
+    * the raw hash-pick quantizer). */
+  def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, seed: Long = 42L, lloydIters: Int = 2): DataFrame =
+    assignCells(vectors, idCol, vecCol,
+      trainCentroids(vectors, idCol, vecCol, nlist, seed, lloydIters))
+
   /** IVF top-k: probe the query's `nprobe` nearest cells, rank exactly
-    * within them. Scanned fraction ≈ nprobe/nlist of the corpus. */
+    * within them. Scanned fraction ≈ nprobe/nlist of the corpus. Centroids
+    * are trained ONCE and shared by the index and the probe side; both the
+    * probe-cell choice and the final ranking go through the bounded-heap
+    * aggregate (no Window anywhere). */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, lloydIters: Int = 2): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val indexed = ivfIndex(vectors, idCol, vecCol, nlist, seed).persist()
-    val cs = broadcast(centroids(vectors, idCol, vecCol, nlist, seed))
+    val trained = trainCentroids(vectors, idCol, vecCol, nlist, seed, lloydIters)
+    val indexed = assignCells(vectors, idCol, vecCol, trained).persist()
+    val cs = broadcast(spark.createDataset(trained).toDF("cell", "cvec"))
     val qs = indexed.filter($"id".isin(queryIds: _*))
       .select($"id".as("q"), $"vec".as("qv"))
-    val wCells = Window.partitionBy($"q").orderBy($"__sim".desc, $"cell")
-    val probed = broadcast(qs.join(cs)
-      .withColumn("__sim", cosine($"qv", $"cvec"))
-      .withColumn("__rn", row_number().over(wCells))
-      .filter($"__rn" <= nprobe)
-      .select($"q", $"qv", $"cell"))
-    val wRank = Window.partitionBy($"q").orderBy($"cos".desc, $"neighbor")
-    val out = indexed.join(probed, Seq("cell"))
-      .filter($"id" =!= $"q")
-      .select($"q", $"id".as("neighbor"),
-        round(cosine($"qv", $"vec"), 6).as("cos"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter($"rank" <= k)
-      .select($"q", $"rank", $"neighbor", $"cos")
+    // nprobe nearest cells per query: same heap aggregate, same tie-break
+    // (sim desc, cell asc) the row_number window used
+    val cellTop = qs.join(cs)
+      .select($"q", cosine($"qv", $"cvec").as("cos"), $"cell".cast("long").as("neighbor"))
+      .groupBy($"q")
+      .agg(graft.functions.TopKByScore.topk_by($"cos", $"neighbor", nprobe).as("top"))
+      .select($"q", explode($"top.neighbor").as("cell"))
+      .select($"q", $"cell".cast("int").as("cell"))
+    val probed = broadcast(qs.join(cellTop, "q").select($"q", $"qv", $"cell"))
+    val out = rankTopK(indexed.join(probed, Seq("cell"))
+        .filter($"id" =!= $"q")
+        .select($"q", $"id".as("neighbor"),
+          round(cosine($"qv", $"vec"), 6).as("cos")), k)
       .localCheckpoint(true)
     indexed.unpersist()
     out
@@ -249,7 +314,8 @@ object Similarity {
   def embeddingNearDupPairs(
       vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, useLsh: Boolean = false,
-      planes: Int = 8, seed: Long = 42L, blocks: Int = 16): DataFrame = {
+      planes: Int = 8, seed: Long = 42L, blocks: Int = 16,
+      dim: Int = -1): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     if (!useLsh) {
@@ -269,7 +335,7 @@ object Similarity {
         .filter(round(cosine($"va", $"vb"), 6) >= threshold)
         .select(least($"ia", $"ib").as("a"), greatest($"ia", $"ib").as("b"))
     } else {
-      val bucketed = lshBucket(vectors, idCol, vecCol, planes, seed)
+      val bucketed = lshBucket(vectors, idCol, vecCol, planes, seed, dim)
       val l = bucketed.select($"id".as("a"), $"vec".as("va"), $"bucket")
       val r = bucketed.select($"id".as("b"), $"vec".as("vb"), $"bucket")
       l.join(r, Seq("bucket")).filter($"a" < $"b")
@@ -290,10 +356,11 @@ object Similarity {
    */
   def embeddingNearDupIvf(
       vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 16, seed: Long = 42L): DataFrame = {
+      threshold: Double, nlist: Int = 16, seed: Long = 42L,
+      lloydIters: Int = 2): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val indexed = ivfIndex(vectors, idCol, vecCol, nlist, seed)
+    val indexed = ivfIndex(vectors, idCol, vecCol, nlist, seed, lloydIters)
     val l = indexed.select($"id".as("a"), $"vec".as("va"), $"cell")
     val r = indexed.select($"id".as("b"), $"vec".as("vb"), $"cell")
     l.join(r, Seq("cell")).filter($"a" < $"b")

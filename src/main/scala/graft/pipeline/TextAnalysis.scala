@@ -99,9 +99,13 @@ object TextAnalysis {
 
   /** 64-bit rolling FNV-1a fingerprint over normalized text — the fast
     * non-cryptographic variant (Scala; ScalaTest-verified, no SQL oracle). */
+  // hoisted: String.replaceAll would re-compile this regex on EVERY call,
+  // and fnv1a64 runs per token inside the simhash inner loop
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L
-    val norm = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val norm = WsRun.matcher(s.trim.toLowerCase).replaceAll(" ")
     var i = 0
     while (i < norm.length) {
       h ^= norm.charAt(i).toLong & 0xffffL

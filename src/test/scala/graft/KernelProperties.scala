@@ -130,6 +130,40 @@ object KernelProperties extends Properties("kernels") {
       Dedup.simhash64(" " * n) == 0L && Dedup.simhash64(null) == 0L
     }
 
+  /** The original regex formulation (`trim.split("\\s+")`) that the manual
+    * scanner in [[Dedup.simhash64]] replaced — per-row regex compilation
+    * dominated the cold scan, but the semantics must stay bit-identical. */
+  private def simhashReference(text: String): Long = {
+    if (text == null) return 0L
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    for (t <- toks) {
+      val h = graft.pipeline.TextAnalysis.fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Strings salted with the characters where trim (≤ U+0020, incl.
+    * controls) and regex \s (exactly 6 chars) disagree. */
+  private val spaceyGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString),
+    Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r",
+      "\u0001", "\u001F", "\u00A0", "\u2007", "\u3000", "\u00E9"))).map(_.mkString)
+
+  property("simhash64 manual scanner ≡ trim.split(\"\\\\s+\") regex semantics") =
+    Prop.forAll(spaceyGen) { s =>
+      Dedup.simhash64(s) == simhashReference(s)
+    }
+
   // ---------------------------------------------------------------------------
   // multimodal header parsing
   // ---------------------------------------------------------------------------

@@ -207,8 +207,10 @@ class PipelineSpec extends SparkTestBase {
       val a = ivf.getOrElse(q, Array.empty).map(_._2).toSet
       a.intersect(b).size.toDouble / b.size
     }
-    assert(recalls.sum / recalls.size >= 0.4,
-      s"mean IVF recall ${recalls.sum / recalls.size} too low (random 64-dim embeddings make coarse cells weak — nprobe 6/16 should still beat 0.4)")
+    assert(recalls.sum / recalls.size >= 0.55,
+      s"mean IVF recall ${recalls.sum / recalls.size} too low (random 64-dim " +
+        "embeddings make coarse cells weak; measured 0.62 with the raw hash " +
+        "pick and 0.66-0.72 with the Lloyd-trained quantizer at nprobe 6/16)")
   }
 
   test("language id: marker-based heuristic is deterministic and covers all docs") {

@@ -56,13 +56,22 @@ class ScalePlanSpec extends SparkTestBase {
       s"assignment must not window over N x nlist rows:\n$plan")
     assert(!plan.contains("Exchange"),
       s"assignment is a narrow projection — no shuffle expected:\n$plan")
-    // reproduce the centroid choice independently (lowest xxhash64(id, 42)),
-    // then check each vector's assigned cell is the true argmax
+    // the Lloyd SEED is still the reproducible hash pick: iteration 0
+    // must equal the independently recomputed lowest-xxhash64(id, 42) rows
     val hashed = embs.select($"vec_id", xxhash64($"vec_id", lit(42L)).as("h"),
         $"embedding")
       .as[(Long, Long, Array[Float])].collect()
-    val centroids = hashed.sortBy(x => (x._2, x._1)).take(nlist)
+    val hashPick = hashed.sortBy(x => (x._2, x._1)).take(nlist)
       .zipWithIndex.map { case ((_, _, v), i) => (i + 1, v) }
+    val seed0 = Similarity.trainCentroids(embs, "vec_id", "embedding",
+      nlist = nlist, lloydIters = 0)
+    assert(seed0.map(_._1) == hashPick.map(_._1).toSeq)
+    seed0.zip(hashPick).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq == b.toSeq, "lloydIters=0 must be the raw hash pick") }
+    // each vector's assigned cell is the true argmax over the TRAINED
+    // centroids (the quantizer ivfIndex defaults to)
+    val trained = Similarity.trainCentroids(embs, "vec_id", "embedding",
+      nlist = nlist)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       for (i <- a.indices) {
@@ -74,9 +83,53 @@ class ScalePlanSpec extends SparkTestBase {
     val got = lazyIndexed.select($"id", $"cell").as[(Long, Long)].collect().toMap
     assert(got.size == hashed.length)
     for ((id, _, v) <- hashed) {
-      val best = centroids.map { case (c, cv) => (cos(v, cv), -c) }.max
+      val best = trained.map { case (c, cv) => (cos(v, cv), -c) }.max
       assert(got(id) == -best._2.toLong, s"vector $id assigned to wrong cell")
     }
+  }
+
+  test("Lloyd training is bit-deterministic at any parallelism") {
+    // per-dimension means are summed in decimal (order-independent), so the
+    // trained quantizer must reproduce bit-for-bit under different
+    // partitionings of the same data
+    val a = Similarity.trainCentroids(embs.repartition(3), "vec_id", "embedding")
+    val b = Similarity.trainCentroids(embs.repartition(17), "vec_id", "embedding")
+    assert(a.map(_._1) == b.map(_._1))
+    a.zip(b).foreach { case ((ca, va), (cb, vb)) =>
+      assert(ca == cb)
+      assert(va.length == vb.length && va.length > 0)
+      va.zip(vb).foreach { case (x, y) =>
+        assert(java.lang.Float.floatToIntBits(x) ==
+          java.lang.Float.floatToIntBits(y), s"cell $ca differs") }
+    }
+    // and training MOVED the centroids off the seed vectors
+    val seed0 = Similarity.trainCentroids(embs, "vec_id", "embedding",
+      lloydIters = 0)
+    assert(a.zip(seed0).exists { case ((_, t), (_, s)) => t.toSeq != s.toSeq })
+  }
+
+  test("ANN rankers use the bounded-heap aggregate — no Window in the plan") {
+    import spark.implicits._
+    val bf = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      Seq(0L, 1L, 2L), k = 5)
+    val plan = planOf(bf)
+    assert(!plan.contains("Window"),
+      s"ranking must not window one query's candidates onto one reducer:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("topk_by"),
+      s"expected the TypedImperativeAggregate heap in the plan:\n$plan")
+    assert(plan.contains("partial_topk_by"),
+      s"map-side partial aggregation must be present:\n$plan")
+  }
+
+  test("lshBucket with dim passed skips the sniff job and matches exactly") {
+    import spark.implicits._
+    val dim = embs.select(size($"embedding")).as[Int].head()
+    val sniffed = Similarity.lshBucket(embs, "vec_id", "embedding", planes = 6)
+      .select($"id", $"bucket").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val passed = Similarity.lshBucket(embs, "vec_id", "embedding", planes = 6,
+        dim = dim)
+      .select($"id", $"bucket").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(sniffed == passed)
   }
 
   // -------------------------------------------------------------------------
@@ -122,8 +175,9 @@ class ScalePlanSpec extends SparkTestBase {
     assert(exact.size > 100, s"fixture too thin: ${exact.size} exact pairs")
     val recall = got.size.toDouble / exact.size
     // cluster-scoped comparison trades recall for N²→N²/nlist work; the
-    // floor documents what the quantizer captures on this corpus
-    assert(recall >= 0.15, s"IVF-celled recall $recall")
+    // floor documents what the quantizer captures on this corpus —
+    // measured 0.226 with the raw hash pick, 0.292 after 2 Lloyd rounds
+    assert(recall >= 0.25, s"IVF-celled recall $recall")
     val plan = planOf(celled)
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"cell-scoped near-dup must be an equi-join on cell:\n$plan")
