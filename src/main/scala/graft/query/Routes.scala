@@ -29,9 +29,17 @@ final case class MissingBoth(startUrl: String, endUrl: String) extends RouteErro
  *    `LeanPageMapper`, `WikiRoutes.kt:106-124`) and answer routes in-memory
  *    at sub-millisecond superstep cost
  *  - distributed: Dataset-superstep bidirectional BFS ([[Bfs]])
+ *
+ * The driver url↔page index is gated SEPARATELY on `urlIndexMaxPages`:
+ * pages ≪ edges (enwiki: ~7M urls vs ~1G links; the reference holds its
+ * whole 12M-entry title map in a 2 GB JVM, `WikiProcessor.kt:33`), so REPL
+ * prompt validation, `#` wildcard listing and `<` random pick stay
+ * job-free driver lookups even when the EDGE set is past the interactive
+ * threshold and each route runs as distributed supersteps.
  */
 class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig,
-    interactiveMaxEdges: Long = 5000000L) {
+    interactiveMaxEdges: Long = 5000000L,
+    urlIndexMaxPages: Long = 10000000L) {
 
   val pages: Dataset[Page] =
     graph.pages.persist(StorageLevel.MEMORY_AND_DISK)
@@ -51,17 +59,28 @@ class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig,
       edgesOut.collect().map(ed => (ed.src, ed.dst))))
   }
 
-  /** Driver-side url↔page index for interactive graphs — the analog of the
-    * reference's mmap'd name/id indexes (`SegmentWikiGraphStore.kt:240-258`):
-    * without it every route would pay two distributed point-lookup jobs. */
+  /** Driver-side url↔page index — the analog of the reference's mmap'd
+    * name/id indexes (`SegmentWikiGraphStore.kt:240-258`): without it every
+    * route would pay two distributed point-lookup jobs. Gated on PAGE count
+    * (not edge count): it serves the REPL even over graphs whose edges are
+    * past the interactive threshold. */
   private lazy val urlIndex: Option[(java.util.HashMap[String, Page],
-                                     java.util.HashMap[Long, String])] =
-    interactive.map { _ =>
+                                     java.util.HashMap[Long, String])] = {
+    if (pages.count() > urlIndexMaxPages) None
+    else Some {
       val byUrl = new java.util.HashMap[String, Page]()
       val byId = new java.util.HashMap[Long, String]()
       pages.collect().foreach { p => byUrl.put(p.url, p); byId.put(p.id, p.url) }
       (byUrl, byId)
     }
+  }
+
+  /** Point lookup through the driver index when present (no job), else a
+    * distributed pushed-filter lookup. */
+  private def lookupPage(url: String): Option[Page] = urlIndex match {
+    case Some((byUrl, _)) => Option(byUrl.get(url))
+    case None => resolve(url)
+  }
 
   /** Fail with the error matching which endpoints are missing — BOTH missing
     * is its own mode (`BadRouteException.java:25-31`; reference renders
@@ -76,10 +95,7 @@ class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig,
 
   /** Does a page with this exact url exist? (interactive prompt validation,
     * `Main.kt:333` `routes.hasPage`). */
-  def hasPage(url: String): Boolean = urlIndex match {
-    case Some((byUrl, _)) => byUrl.containsKey(url)
-    case None => resolve(url).isDefined
-  }
+  def hasPage(url: String): Boolean = lookupPage(url).isDefined
 
   import Routes.utf8Compare
 
@@ -142,10 +158,14 @@ class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig,
   @throws[MissingEnd]
   @throws[MissingBoth]
   def findRouteDistributed(startUrl: String, endUrl: String): Seq[String] = {
-    val (start, end) = require2(startUrl, resolve(startUrl), endUrl, resolve(endUrl))
+    val (start, end) = require2(
+      startUrl, lookupPage(startUrl), endUrl, lookupPage(endUrl))
     Bfs.shortestPath(edgesOut, edgesIn, start.id, end.id, tooBig) match {
       case None => Nil
-      case Some(ids) => urlsOf(ids)
+      case Some(ids) => urlIndex match {
+        case Some((_, byId)) => ids.map(byId.get(_))
+        case None => urlsOf(ids)
+      }
     }
   }
 

@@ -72,6 +72,31 @@ class InteractiveSpec extends SparkTestBase {
     assert(sparkOrder == Seq(repl, emoji)) // ...and Spark agrees with utf8Compare
   }
 
+  test("url index serves the REPL above the interactive EDGE threshold") {
+    // force every route onto the distributed superstep path
+    // (interactiveMaxEdges = 0) — prompt validation, wildcard listing and
+    // random pick must STILL be job-free driver lookups (pages ≪ edges)
+    val big = new Routes(GraphBuilder.build(
+      SynthCorpus.toDF(spark, SynthCorpus.direct).toDF(), smallIds = true),
+      interactiveMaxEdges = 0L)
+    assert(big.hasPage(u("Gdansk"))) // builds the url index (one-time)
+    val t0 = System.nanoTime()
+    val checks = Seq(
+      big.hasPage(u("Polska")), !big.hasPage("nope"),
+      big.prefixSearch(u("Gda"), 5).contains(u("Gdansk")),
+      big.randomUrl(7L).isDefined)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(checks.forall(identity))
+    assert(ms < 100.0, s"warm prompt validation took $ms ms — not index-backed?")
+    // parity with the distributed lookups
+    assert(big.prefixSearch(u("Gda"), 10) ==
+      Lookups.prefixTopK(big.pages, u("Gda"), 10).map(_.url))
+    // routes themselves run distributed and resolve urls via the index
+    val route = big.findRoute(u("Gdansk"), u("Polska"))
+    assert(route == routes.findRoute(u("Gdansk"), u("Polska")))
+    intercept[MissingBoth](big.findRoute("nope1", "nope2"))
+  }
+
   test("missing-endpoint trio: start, end, and BOTH have distinct errors") {
     intercept[MissingStart](routes.findRoute("nope1", u("Polska")))
     intercept[MissingEnd](routes.findRoute(u("Polska"), "nope2"))
