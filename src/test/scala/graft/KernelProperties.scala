@@ -165,6 +165,36 @@ object KernelProperties extends Properties("kernels") {
     }
 
   // ---------------------------------------------------------------------------
+  // bounded top-k heap (the ANN ranking aggregate's kernel)
+  // ---------------------------------------------------------------------------
+
+  private val scoredGen: Gen[List[(Double, Long)]] = Gen.listOf(for {
+    s <- Gen.chooseNum(-1.0, 1.0)
+    i <- Gen.chooseNum(0L, 50L) // small id space forces score ties
+  } yield (s, i))
+
+  private def oracle(xs: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
+    xs.distinct.sortBy { case (s, i) => (-s, i) }.take(k)
+
+  property("TopKBuffer == sort-then-take under (score desc, id asc)") =
+    Prop.forAll(scoredGen, Gen.chooseNum(1, 8)) { (xs, k) =>
+      val buf = new graft.functions.TopKBuffer(k)
+      xs.distinct.foreach { case (s, i) => buf.insert(s, i) }
+      buf.sortedBest == oracle(xs, k)
+    }
+
+  property("TopKBuffer merge ≡ combined insert (partial-agg correctness)") =
+    Prop.forAll(scoredGen, scoredGen, Gen.chooseNum(1, 8)) { (xs, ys, k) =>
+      val all = (xs ++ ys).distinct
+      val a = new graft.functions.TopKBuffer(k)
+      xs.distinct.foreach { case (s, i) => a.insert(s, i) }
+      val b = new graft.functions.TopKBuffer(k)
+      ys.distinct.filterNot(xs.contains).foreach { case (s, i) => b.insert(s, i) }
+      b.sortedBest.foreach { case (s, i) => a.insert(s, i) } // merge = re-insert
+      a.sortedBest == oracle(all, k)
+    }
+
+  // ---------------------------------------------------------------------------
   // multimodal header parsing
   // ---------------------------------------------------------------------------
 
