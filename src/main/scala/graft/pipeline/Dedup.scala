@@ -42,7 +42,12 @@ object Dedup {
   // Word-shingle machinery (shared by Jaccard and MinHash)
   // ---------------------------------------------------------------------------
 
-  /** Word n-gram shingles as an array column (space-joined token windows). */
+  /** Word n-gram shingles as an array column (space-joined token windows) —
+    * the PORTABLE reference formulation (mirrors the DuckDB oracle CTE).
+    * Not the hot path: `transform`/`slice` are higher-order functions, which
+    * Catalyst interprets per window (CodegenFallback); [[shingleSeq]] is the
+    * single-pass kernel [[docShingles]] actually runs, parity-tested against
+    * this formulation in PipelineSpec. */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     when(size(toks) < n, array().cast("array<string>")).otherwise(
@@ -50,10 +55,50 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** (id, shingle) distinct pairs — the inverted-index edge list. */
+  private val WsRunPat = java.util.regex.Pattern.compile("\\s+")
+
+  /** One-pass distinct-shingle kernel, replicating [[shingles]] +
+    * `array_distinct` exactly: Spark SQL `trim` strips SPACE (U+0020) only
+    * (NOT Java's ≤ 0x20 trim), and Spark `split` is Java split with
+    * limit -1. Measured: the interpreted HOF formulation cost more than the
+    * whole downstream candidate join at sf0.1 (2.8–4.1 s of a ~5 s query). */
+  private[pipeline] def shingleSeq(text: String, n: Int): Seq[String] = {
+    if (text == null) return Seq.empty
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) == ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+    val toks = WsRunPat.split(text.subSequence(lo, hi), -1)
+    if (toks.length < n) return Seq.empty
+    val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    seen.iterator().asScala.toSeq
+  }
+
+  private val shingleUdf = udf((s: String, n: Int) => shingleSeq(s, n))
+
+  /** (id, shingle) distinct pairs — the inverted-index edge list. Dedup is
+    * per-doc and NARROW (inside [[shingleSeq]], before the explode), where
+    * `explode(...).distinct()` would shuffle every exploded posting; the two
+    * are equivalent because ids are unique per input row, so cross-row
+    * (id, shingle) duplicates cannot exist — and the DuckDB oracle's
+    * `list_distinct` is already the per-doc formulation. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .distinct()
+    docs.select(col(idCol).as("id"),
+      explode(shingleUdf(col(textCol), lit(n))).as("shingle"))
   }
 
   /** Candidate pairs (a < b) sharing ≥ 1 retained shingle, with the common

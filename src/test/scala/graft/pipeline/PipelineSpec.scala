@@ -70,6 +70,38 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("shingle kernel ≡ portable HOF formulation (incl. hostile whitespace)") {
+    import spark.implicits._
+    // the one-pass UDF kernel must reproduce the Column formulation
+    // bit-for-bit: Spark trim strips SPACES only, Spark split keeps the
+    // leading empty token a non-space whitespace prefix produces
+    val hostile = Seq(
+      "plain three word shingle text here",
+      "  leading and trailing spaces  ",
+      "\ttab\tprefixed tokens here",          // trim does NOT strip \t
+      "multi   space    runs collapse to one",
+      "two words", "", "   ", "\n\nnewlines only\n",
+      "dup dup dup dup dup",                   // within-doc duplicate shingles
+      "unicode tëst ünïcode tëst ünïcode more")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = hostile.toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val kernel = Dedup.docShingles(df, "doc_id", "text", n)
+        .as[(Long, String)].collect().sorted.toSeq
+      val hof = df.select($"doc_id".as("id"),
+          explode(array_distinct(Dedup.shingles($"text", n))).as("shingle"))
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(kernel == hof, s"n=$n")
+    }
+    // and on the real fixture corpus
+    val realKernel = Dedup.docShingles(docs.toDF(), "doc_id", "text", 3)
+      .as[(Long, String)].collect().sorted.toSeq
+    val realHof = docs.toDF().select($"doc_id".as("id"),
+        explode(array_distinct(Dedup.shingles($"text", 3))).as("shingle"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(realKernel == realHof && realKernel.nonEmpty)
+  }
+
   test("exact dedup groups identical normalized texts") {
     import spark.implicits._
     val res = Dedup.exact(docs, "doc_id", "text")
