@@ -87,12 +87,14 @@ object Bench {
     // clean window per side, and the short (~1.5 s) 4N steps are the ones
     // co-tenant load pollutes — r1/r2 driver runs never caught a clean 4N
     // minimum with 2 sessions × 5 steps (quiet-box efficiency measures 0.98,
-    // ScalingProbe). 3 interleaved sessions per side and 8 measured 4N
-    // supersteps (24 samples) buy the clean window for ~2 extra minutes.
+    // ScalingProbe). 3 interleaved sessions per side, 8 measured supersteps
+    // per session ON BOTH SIDES — the sample count must be symmetric: min of
+    // more draws sits closer to the true minimum, so more 4N samples than N
+    // samples would bias the efficiency ratio upward under noise.
     val vertices = 1000000L
     val edgeCount = 16000000L
     val sessionsPerSide = 3
-    val itersN = 5
+    val itersN = 8
     val iters4N = 8
     val coresN = 2
     val cores4N = 8

@@ -55,9 +55,13 @@ object Cli {
     try {
       run(spark, args)
     } catch {
-      // argument errors only — anything else keeps its stack trace
+      // user-input failures only (bad args, not-a-warehouse paths) surface
+      // as one line + exit 2 — anything else keeps its stack trace
       case e: UsageError =>
         System.err.println(s"error: ${e.getMessage}")
+        sys.exit(2)
+      case e: graft.tables.NoSuchTable =>
+        System.err.println(s"error: ${e.getMessage} — is --input a graft warehouse?")
         sys.exit(2)
     } finally spark.stop()
   }

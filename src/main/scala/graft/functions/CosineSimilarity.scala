@@ -115,11 +115,19 @@ object CosineSimilarity {
     * from both the interpreted and the generated code path). */
   def divByZero(): ArithmeticException = GraftExpressionBridge.divideByZeroError()
 
-  /** Column-API binding. */
+  /** Column-API binding (Divide-parity zero-norm: throws under ANSI). */
   def cosine_similarity(a: Column, b: Column): Column =
     GraftExpressionBridge.column(CosineSimilarity(
       GraftExpressionBridge.expression(a),
       GraftExpressionBridge.expression(b)))
+
+  /** Lenient binding: zero-norm ⇒ NULL regardless of ANSI mode — for
+    * internal bucketing/assignment/ranking kernels where one degenerate
+    * vector must not abort the job (see `Similarity.cosine`). */
+  def cosine_similarity_lenient(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(CosineSimilarity(
+      GraftExpressionBridge.expression(a),
+      GraftExpressionBridge.expression(b), failOnError = false))
 
   /** SQL registration: `SELECT cosine_similarity(a, b)`. */
   def register(spark: SparkSession): Unit =

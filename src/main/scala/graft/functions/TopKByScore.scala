@@ -16,10 +16,18 @@ import org.apache.spark.sql.{Column, GraftExpressionBridge}
   * k entries. (score, id) is a total order per group (ids are unique), so
   * the kept set is deterministic regardless of input order. */
 final class TopKBuffer(val k: Int) {
-  // "largest" under this ordering = worst kept pair (lowest score, then
-  // highest id) — the eviction candidate at the heap head
-  private val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
-    case (s, i) => (-s, i)
+  // -0.0 == 0.0 here, matching SQL sort semantics and the primitive ==/>
+  // in insert — Ordering[Double] (Double.compare) would call -0.0 < 0.0
+  // and rank ties differently than the row_number window this replaces
+  @inline private def norm(s: Double): Double = if (s == 0.0) 0.0 else s
+
+  /** Total order with the WORST pair largest (lowest score, then highest
+    * id) — the eviction candidate at the heap head. */
+  private val worstFirst = new Ordering[(Double, Long)] {
+    override def compare(x: (Double, Long), y: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(norm(y._1), norm(x._1))
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
   }
   private[functions] val heap =
     scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
@@ -35,9 +43,11 @@ final class TopKBuffer(val k: Int) {
     }
   }
 
-  /** Kept pairs, best-first (score desc, id asc). */
+  /** Kept pairs, best-first (score desc, id asc; -0.0 ties with 0.0).
+    * Ascending under `worstFirst` IS best-first: the worst pair compares
+    * largest there. */
   def sortedBest: Seq[(Double, Long)] =
-    heap.toSeq.sortBy { case (s, i) => (-s, i) }
+    heap.toSeq.sorted(worstFirst)
 }
 
 /**
@@ -54,6 +64,11 @@ final class TopKBuffer(val k: Int) {
  * k rows per (task, query) instead of the full candidate set. At a
  * million-query batch that is the difference between a skew-prone
  * sort-shuffle and a bounded combine.
+ *
+ * NULL scores are SKIPPED (standard aggregate-function null handling), not
+ * ranked last the way a nulls-last window would: with the lenient cosine
+ * kernel a NULL score marks a degenerate (zero-norm/length-mismatched)
+ * vector, which is excluded from rankings by design.
  */
 case class TopKByScore(score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

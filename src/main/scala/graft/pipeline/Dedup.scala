@@ -95,7 +95,13 @@ object Dedup {
     * `explode(...).distinct()` would shuffle every exploded posting; the two
     * are equivalent because ids are unique per input row, so cross-row
     * (id, shingle) duplicates cannot exist — and the DuckDB oracle's
-    * `list_distinct` is already the per-doc formulation. */
+    * `list_distinct` is already the per-doc formulation.
+    *
+    * PRECONDITION: `idCol` is a primary key (the documents-table contract,
+    * and exactly the assumption the oracle CTE makes). A corpus with
+    * duplicate ids must be exact-deduped first ([[exact]] keys on content,
+    * not id) — duplicate id rows would double-post their shingles and
+    * inflate Jaccard intersection AND size counts. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     docs.select(col(idCol).as("id"),
       explode(shingleUdf(col(textCol), lit(n))).as("shingle"))

@@ -22,9 +22,18 @@ object Similarity {
   /** Cosine similarity of two float-array columns, computed in double.
     * Native codegen'd kernel ([[graft.functions.CosineSimilarity]]) —
     * bit-identical to [[cosinePortable]] (same double left-fold), minus the
-    * higher-order-function interpretation overhead in the ANN hot path. */
+    * higher-order-function interpretation overhead in the ANN hot path.
+    *
+    * LENIENT zero-norm semantics (`failOnError = false`): a zero vector or
+    * empty array yields NULL, never an ANSI DIVIDE_BY_ZERO — one degenerate
+    * embedding in a 10^12-row corpus must not kill a bucketing/ranking job.
+    * NULL scores then fall out of every downstream path by construction
+    * (rankTopK's heap skips them; `null >= τ` filters reject them; a NULL
+    * bucket side maps to bit 0). The ANSI-faithful kernel — Divide parity,
+    * throws under ANSI — is what [[graft.plans.CosineRewrite]] substitutes
+    * for the PORTABLE formulation, where error parity is the contract. */
   def cosine(a: Column, b: Column): Column =
-    graft.functions.CosineSimilarity.cosine_similarity(a, b)
+    graft.functions.CosineSimilarity.cosine_similarity_lenient(a, b)
 
   /** Built-ins-only formulation (zip_with + aggregate): the portable
     * reference semantics the native kernel must match exactly. */
@@ -89,12 +98,18 @@ object Similarity {
     val spark = vectors.sparkSession
     import spark.implicits._
     val d = if (dim > 0) dim else vectors.select(size(col(vecCol))).first().getInt(0)
+    // a WRONG caller-passed dim would make every kernel eval NULL (length
+    // mismatch) and silently funnel the whole corpus into bucket 0 — an
+    // O(N²) self-join instead of an error. Guard in the same scan, no job:
+    val vec = when(size(col(vecCol)) === d, col(vecCol)).otherwise(raise_error(
+      concat(lit(s"lshBucket: dim=$d but embedding has "),
+        size(col(vecCol)).cast("string"), lit(" elements"))))
     val planeCols = (0 until planes).map { p =>
       // sign(dot) == sign(cosine): reuse the native codegen'd kernel
+      // (lenient: a zero vector has no sign — NULL ⇒ bit 0, job survives)
       val signs = array((0 until d).map(i =>
         lit(planeSign(seed, p, i).toFloat)): _*)
-      val side = graft.functions.CosineSimilarity
-        .cosine_similarity(col(vecCol), signs) >= 0
+      val side = cosine(vec, signs) >= 0
       when(side, lit(1L << p)).otherwise(lit(0L))
     }
     vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),

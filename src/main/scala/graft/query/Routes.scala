@@ -35,11 +35,14 @@ final case class MissingBoth(startUrl: String, endUrl: String) extends RouteErro
  * whole 12M-entry title map in a 2 GB JVM, `WikiProcessor.kt:33`), so REPL
  * prompt validation, `#` wildcard listing and `<` random pick stay
  * job-free driver lookups even when the EDGE set is past the interactive
- * threshold and each route runs as distributed supersteps.
+ * threshold and each route runs as distributed supersteps. The 2M default
+ * is sized for Spark's DEFAULT 1g driver heap (~2M Page rows ≈ 300 MB with
+ * JVM string overhead); raise it when the driver has the reference's 2 GB+
+ * (enwiki's 7M pages fit there, per the reference's own design point).
  */
 class Routes(graph: LinkGraph, tooBig: Long = Bfs.DefaultTooBig,
     interactiveMaxEdges: Long = 5000000L,
-    urlIndexMaxPages: Long = 10000000L) {
+    urlIndexMaxPages: Long = 2000000L) {
 
   val pages: Dataset[Page] =
     graph.pages.persist(StorageLevel.MEMORY_AND_DISK)

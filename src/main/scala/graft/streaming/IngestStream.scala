@@ -47,7 +47,16 @@ object IngestStream {
       trigger: Trigger = Trigger.AvailableNow()): Option[StreamingQuery] = {
     val schema =
       try spark.read.parquet(inputDir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => return None }
+      catch {
+        // ONLY the two "no files yet" conditions — a schema-merge conflict
+        // or unreadable path is a real error and must propagate, not be
+        // silently reported as a clean empty ingest
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("PATH_NOT_FOUND") ||
+                c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          return None
+      }
     val stream = spark.readStream.schema(schema).parquet(inputDir)
     val cat = new IcebergLite(warehouse)
     Some(extracted(stream).writeStream

@@ -7,6 +7,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Missing table / snapshot — a user-input-shaped failure (wrong warehouse
+  * path, never-committed table), typed so CLI boundaries can render it as a
+  * one-line error instead of a stack trace. */
+final case class NoSuchTable(message: String) extends RuntimeException(message)
+
 /** One committed snapshot of a table. */
 case class Snapshot(
     snapshotId: Long,
@@ -107,9 +112,9 @@ class IcebergLite(rootDir: String) {
       snapshotId: Long = -1L): DataFrame = {
     val snap =
       if (snapshotId >= 0) readSnapshot(table, snapshotId)
-        .getOrElse(sys.error(s"no snapshot $snapshotId for $table"))
+        .getOrElse(throw NoSuchTable(s"no snapshot $snapshotId for $table"))
       else currentSnapshot(table)
-        .getOrElse(sys.error(s"table $table has no snapshots"))
+        .getOrElse(throw NoSuchTable(s"table $table has no snapshots"))
     val parentFiles: Set[String] =
       if (snap.parentId < 0) Set.empty
       else readSnapshot(table, snap.parentId).map(_.files.toSet).getOrElse(Set.empty)
@@ -121,9 +126,9 @@ class IcebergLite(rootDir: String) {
   def read(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
     val snap =
       if (snapshotId >= 0) readSnapshot(table, snapshotId)
-        .getOrElse(sys.error(s"no snapshot $snapshotId for $table"))
+        .getOrElse(throw NoSuchTable(s"no snapshot $snapshotId for $table"))
       else currentSnapshot(table)
-        .getOrElse(sys.error(s"table $table has no snapshots"))
+        .getOrElse(throw NoSuchTable(s"table $table has no snapshots"))
     val paths = snap.files.map(f => tableDir(table).resolve(f).toString)
     spark.read.parquet(paths: _*)
   }

@@ -49,29 +49,53 @@ class CosineRewriteSpec extends SparkTestBase {
   }
 
   test("zero-norm / empty arrays follow Divide: ANSI throws, legacy NULL") {
+    import graft.functions.CosineSimilarity.{cosine_similarity, cosine_similarity_lenient}
     import spark.implicits._
     def chain(e: Throwable): Seq[String] =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
         .map(t => String.valueOf(t.getMessage)).toSeq
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
       (Array.empty[Float], Array.empty[Float])).toDF("va", "vb")
-    // ANSI (the Spark 4 session default): both formulations raise
-    // DIVIDE_BY_ZERO — the kernel must never leak an IEEE NaN instead
-    val kErr = intercept[Exception] {
-      df.select(Similarity.cosine($"va", $"vb")).collect() }
-    assert(chain(kErr).exists(_.contains("DIVIDE_BY_ZERO")), chain(kErr).mkString(" | "))
+    // ANSI (the Spark 4 session default): the PORTABLE formulation — whose
+    // Divide the rewrite substitutes, so error parity is the contract —
+    // raises DIVIDE_BY_ZERO both through the rewritten kernel and the
+    // strict Column binding; the kernel must never leak an IEEE NaN instead
     val pErr = intercept[Exception] {
       df.select(Similarity.cosinePortable($"va", $"vb")).collect() }
     assert(chain(pErr).exists(_.contains("DIVIDE_BY_ZERO")), chain(pErr).mkString(" | "))
+    val kErr = intercept[Exception] {
+      df.select(cosine_similarity($"va", $"vb")).collect() }
+    assert(chain(kErr).exists(_.contains("DIVIDE_BY_ZERO")), chain(kErr).mkString(" | "))
+    // the LENIENT binding (Similarity.cosine — internal ANN/bucketing
+    // kernels) is NULL even under ANSI: one degenerate vector in a corpus
+    // must not abort a bucketing job
+    val len = df.select(cosine_similarity_lenient($"va", $"vb").as("c")).collect()
+    assert(len.forall(_.isNullAt(0)), s"lenient must be NULL, got ${len.mkString(",")}")
     // legacy mode: Divide's null-on-zero-divisor, bit-identically NULL on
     // both paths (columns built AFTER the conf flip so failOnError=false)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try {
-      val k = df.select(Similarity.cosine($"va", $"vb").as("c")).collect()
+      val k = df.select(cosine_similarity($"va", $"vb").as("c")).collect()
       val p = df.select(Similarity.cosinePortable($"va", $"vb").as("c")).collect()
       assert(k.forall(_.isNullAt(0)), s"kernel must be NULL, got ${k.mkString(",")}")
       assert(p.forall(_.isNullAt(0)), s"portable must be NULL, got ${p.mkString(",")}")
     } finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
+
+  test("one zero vector does not abort ANN bucketing/ranking/near-dup jobs") {
+    import spark.implicits._
+    val withZero = embs.select($"vec_id", $"embedding").limit(20)
+      .union(Seq((9999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    // all three pipelines complete under the default-ANSI session; the
+    // degenerate vector simply never ranks (NULL scores are skipped)
+    val bf = Similarity.bruteForceTopK(withZero, "vec_id", "embedding",
+      Seq(0L, 9999L), k = 3).collect()
+    assert(bf.nonEmpty && !bf.exists(_.getLong(2) == 9999L),
+      "zero vector must not appear as a neighbor")
+    assert(Similarity.lshTopK(withZero, "vec_id", "embedding", Seq(0L),
+      k = 3, planes = 4).count() > 0)
+    Similarity.embeddingNearDupPairs(withZero, "vec_id", "embedding",
+      threshold = 0.45, blocks = 4).collect() // completes, no throw
   }
 
   test("non-matching shapes are left alone (conservative match)") {

@@ -80,14 +80,19 @@ class InteractiveSpec extends SparkTestBase {
       SynthCorpus.toDF(spark, SynthCorpus.direct).toDF(), smallIds = true),
       interactiveMaxEdges = 0L)
     assert(big.hasPage(u("Gdansk"))) // builds the url index (one-time)
-    val t0 = System.nanoTime()
+    // prove "index-backed" deterministically: ZERO Spark jobs may run for
+    // warm prompt validation / wildcard / random (a wall-clock bound would
+    // be flaky under co-tenant load)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
     val checks = Seq(
       big.hasPage(u("Polska")), !big.hasPage("nope"),
       big.prefixSearch(u("Gda"), 5).contains(u("Gdansk")),
       big.randomUrl(7L).isDefined)
-    val ms = (System.nanoTime() - t0) / 1e6
     assert(checks.forall(identity))
-    assert(ms < 100.0, s"warm prompt validation took $ms ms — not index-backed?")
+    val ran = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .toSet.diff(before)
+    assert(ran.isEmpty,
+      s"Spark jobs $ran ran during index-backed prompt validation")
     // parity with the distributed lookups
     assert(big.prefixSearch(u("Gda"), 10) ==
       Lookups.prefixTopK(big.pages, u("Gda"), 10).map(_.url))
