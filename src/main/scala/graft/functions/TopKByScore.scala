@@ -144,4 +144,18 @@ object TopKByScore {
     GraftExpressionBridge.column(TopKByScore(
       GraftExpressionBridge.expression(score),
       GraftExpressionBridge.expression(id), k).toAggregateExpression())
+
+  /** SQL registration: `SELECT q, topk_by(score, id, 5) FROM ... GROUP BY q`
+    * (k must be an integer literal — it sizes the aggregation buffer). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_by", exprs => {
+        require(exprs.length == 3, "topk_by(score, id, k) takes 3 arguments")
+        val k = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_by: k must be an INT literal, got $other")
+        }
+        TopKByScore(exprs(0), exprs(1), k)
+      }, "scala_udf")
 }

@@ -45,4 +45,24 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(viaSql.isNullAt(2))
     assert(viaSql.getString(3) == Extract.normalizeUrl(page.url))
   }
+
+  test("SQL-registered topk_by equals the Column API (custom aggregate)") {
+    import spark.implicits._
+    graft.functions.TopKByScore.register(spark)
+    val cand = Seq(
+      (1L, 0.9, 10L), (1L, 0.8, 11L), (1L, 0.9, 9L), (1L, 0.1, 12L),
+      (2L, 0.5, 20L), (2L, 0.5, 21L), (2L, 0.7, 22L))
+      .toDF("q", "cos", "neighbor")
+    cand.createOrReplaceTempView("cand")
+    val viaSql = spark.sql(
+      "SELECT q, topk_by(cos, neighbor, 2) AS top FROM cand GROUP BY q")
+      .selectExpr("q", "transform(top, t -> t.neighbor) AS ns")
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val viaCol = cand.groupBy($"q")
+      .agg(graft.functions.TopKByScore.topk_by($"cos", $"neighbor", 2).as("top"))
+      .selectExpr("q", "transform(top, t -> t.neighbor) AS ns")
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql == Seq((1L, Seq(9L, 10L)), (2L, Seq(22L, 20L))))
+  }
 }
