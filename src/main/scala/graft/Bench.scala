@@ -29,7 +29,7 @@ object Bench {
   private val Headline = Seq(
     "g_edges", "g_degrees", "g_adjacency", "g_triangles", "g_cc", "g_bfs",
     "g_pagerank", "q1_agg", "q_join_revenue", "q_window_events",
-    "d_exact", "d_jaccard", "d_minhash_lsh",
+    "d_exact", "d_jaccard", "d_minhash_lsh", "d_clusters",
     "t_langid", "s_ann_topk", "s_neardup", "x_simhash_pairs")
 
   private def session(cores: Int): SparkSession = {

@@ -134,6 +134,40 @@ object SparkEntry {
        |JOIN sizes sb ON c.b = sb.doc_id
        |WHERE c.common / (sa.sz + sb.sz - c.common) >= 0.5""".stripMargin
 
+  /** Cluster canonicalization oracle: the jaccard pair CTE as an undirected
+    * edge list, then `iters` rounds of one-hop min-label propagation — each
+    * round reaches one hop further, so any `iters` ≥ the largest cluster
+    * diameter is exact (near-dup clusters are near-cliques; 16 is a wide
+    * margin). MATERIALIZED per round or DuckDB re-inlines the whole chain. */
+  private def clustersSql(iters: Int): String = {
+    val head =
+      s"""WITH $ShinglesCte,
+         |common AS MATERIALIZED (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS DOUBLE) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS sz FROM sh GROUP BY 1),
+         |jacc AS MATERIALIZED (
+         |  SELECT c.a, c.b FROM common c
+         |  JOIN sizes sa ON c.a = sa.doc_id
+         |  JOIN sizes sb ON c.b = sb.doc_id
+         |  WHERE c.common / (sa.sz + sb.sz - c.common) >= 0.5),
+         |undp AS MATERIALIZED (SELECT a AS u, b AS v FROM jacc UNION SELECT b, a FROM jacc),
+         |c0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM documents)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = s"c${i - 1}"
+      s""",
+         |c$i AS MATERIALIZED (
+         |  SELECT l.id, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+         |  FROM $p l
+         |  LEFT JOIN undp u ON l.id = u.u
+         |  LEFT JOIN $p n ON u.v = n.id
+         |  GROUP BY l.id, l.label)""".stripMargin
+    }.mkString
+    head + steps +
+      s"\nSELECT id, CAST(label AS BIGINT) AS canonical_id FROM c$iters"
+  }
+
   private val MinhashSigCte = {
     val mins = (0 until 8).map(i => s"MIN(md5('$i|' || shingle)) AS m$i").mkString(", ")
     s"sigs AS (SELECT doc_id AS id, $mins FROM sh GROUP BY doc_id)"
@@ -269,6 +303,12 @@ object SparkEntry {
 
     // ----- dedup / text / similarity (documents + embeddings) -----
     "d_exact" -> ((s, dir) => Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    "d_clusters" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      Dedup.canonicalize(docs, "doc_id",
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
+    },
 
     "d_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -488,6 +528,8 @@ object SparkEntry {
         |  ON d.digest = c.digest""".stripMargin,
 
     "d_jaccard" -> JaccardPairsSql,
+
+    "d_clusters" -> clustersSql(16),
 
     "d_minhash_sig" ->
       s"""WITH $ShinglesCte,

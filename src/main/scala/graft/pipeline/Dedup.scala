@@ -38,6 +38,25 @@ object Dedup {
     digests.join(canon, "digest").select($"id", $"canonical_id")
   }
 
+  /**
+   * Near-dup cluster canonicalization — the pipeline stage AFTER pair
+   * generation: treat (a, b) near-duplicate pairs as undirected edges, find
+   * connected components ([[graft.algo.ConnectedComponents]], large/small-
+   * star — the same O(log n)-round operator the graph suite ships), and map
+   * every document to its cluster's minimum id. Docs in no pair map to
+   * themselves. This is how a dedup pass actually ends at corpus scale:
+   * keep one representative per transitive-duplicate cluster, not per pair.
+   */
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val verts = docs.select(col(idCol).cast("long").as("id"))
+    val edges = pairs.select($"a".cast("long").as("src"), $"b".cast("long").as("dst"))
+      .as[graft.graph.Edge]
+    graft.algo.ConnectedComponents.run(verts, edges)
+      .components.select($"id", $"component".as("canonical_id"))
+  }
+
   // ---------------------------------------------------------------------------
   // Word-shingle machinery (shared by Jaccard and MinHash)
   // ---------------------------------------------------------------------------

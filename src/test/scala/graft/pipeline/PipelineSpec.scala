@@ -102,6 +102,34 @@ class PipelineSpec extends SparkTestBase {
     assert(realKernel == realHof && realKernel.nonEmpty)
   }
 
+  test("cluster canonicalization == driver union-find over the same pairs") {
+    import spark.implicits._
+    val pairs = Dedup.jaccardPairs(docs.toDF(), "doc_id", "text", n = 3,
+      threshold = 0.5)
+    val got = Dedup.canonicalize(docs.toDF(), "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    // driver oracle: union-find with min-id roots
+    val ids = docs.toDF().select($"doc_id").as[Long].collect()
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    val want = ids.map(i => i -> find(i)).toMap
+    assert(got.size == ids.length)
+    assert(got == want)
+    // a cluster actually formed (the fixture has near-dups) and singletons
+    // map to themselves
+    assert(got.exists { case (i, c) => i != c })
+    assert(got.count { case (i, c) => i == c } > got.size / 2)
+  }
+
   test("exact dedup groups identical normalized texts") {
     import spark.implicits._
     val res = Dedup.exact(docs, "doc_id", "text")
