@@ -21,7 +21,7 @@ import graft.query.{Interactive, Lookups, MissingBoth, MissingEnd, MissingStart,
  *             `Main.kt:32,341-384`)
  *   search   --input <warehouse> --prefix P [--limit K]
  *            (reference: wildcard lookup, `Main.kt:323`)
- *   ingest   --input <pages_raw dir> --output <warehouse>
+ *   ingest   --input <pages_raw dir> --output <warehouse> [--compact-over N]
  *            (beyond the reference: continuous convert — drains new crawl
  *             files into idempotent fast-append commits; re-run to tail)
  *   analyze  --input <warehouse> --algo pagerank|cc|lpa|triangles|bfs
@@ -148,13 +148,22 @@ object Cli {
           // as fast-append commits (idempotent across re-runs/crashes)
           val input = arg(args, "input").getOrElse(usageError("--input required"))
           val output = arg(args, "output").getOrElse(usageError("--output required"))
+          val compactOver = intArg(args, "compact-over").getOrElse(64)
           graft.streaming.IngestStream.run(spark, input, output)
             .foreach(_.awaitTermination())
           val cat = new graft.tables.IcebergLite(output)
           cat.currentSnapshot("links_raw") match {
-            case Some(s) => println(
-              s"links_raw at snapshot ${s.snapshotId}: ${s.rowCount} pages, " +
-                s"${s.files.size} data files, lastBatch=${s.properties.getOrElse("batchId", "?")}")
+            case Some(s) =>
+              println(
+                s"links_raw at snapshot ${s.snapshotId}: ${s.rowCount} pages, " +
+                  s"${s.files.size} data files, lastBatch=${s.properties.getOrElse("batchId", "?")}")
+              // fast appends accumulate one file set per micro-batch; fold
+              // the small files back down once they pile past the threshold
+              if (compactOver > 0 && s.files.size > compactOver) {
+                val c = cat.compact(spark, "links_raw", targetFiles = compactOver / 4)
+                println(s"compacted ${s.files.size} files -> ${c.files.size} " +
+                  s"(snapshot ${c.snapshotId})")
+              }
             case None => println("no input files found; nothing committed")
           }
 

@@ -122,6 +122,23 @@ class IcebergLite(rootDir: String) {
     spark.read.parquet(fresh.map(f => tableDir(table).resolve(f).toString): _*)
   }
 
+  /** Compact a table's data files into `targetFiles` (Iceberg's
+    * `rewrite_data_files` analog): read the current snapshot, rewrite it as
+    * one full-replacement snapshot with few large files. The streaming
+    * ingest sink fast-appends O(batch) files per micro-batch, so a
+    * long-running table accumulates small files without this — the classic
+    * small-file problem every table format schedules compaction for. Time
+    * travel to pre-compaction snapshots still works (their files are
+    * retained on disk; only the new manifest stops listing them). */
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 8): Snapshot = {
+    val cur = currentSnapshot(table)
+      .getOrElse(throw NoSuchTable(s"table $table has no snapshots"))
+    val df = read(spark, table).repartition(targetFiles)
+    commit(df, table, Map(
+      "compactedFromSnapshot" -> cur.snapshotId.toString,
+      "compactedFromFiles" -> cur.files.size.toString))
+  }
+
   /** Read a table at its current (or an explicit) snapshot. */
   def read(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
     val snap =

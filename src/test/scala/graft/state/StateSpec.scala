@@ -49,6 +49,30 @@ class StateSpec extends SparkTestBase {
     assert(s1.rowCount == 3 && s1.partitionRows.values.sum == 3)
   }
 
+  test("IcebergLite: compact rewrites small appended files, preserves rows + time travel") {
+    import spark.implicits._
+    val t = new IcebergLite(tmp())
+    // simulate a streaming table: many tiny appends, multi-file each
+    t.commit((1L to 10L).toDF("id").repartition(4), "stream")
+    (1 to 4).foreach(i =>
+      t.append(Seq(10L + i).toDF("id").repartition(2), "stream"))
+    val before = t.currentSnapshot("stream").get
+    assert(before.files.size >= 8, s"expected small-file buildup, got ${before.files.size}")
+    val rows = t.read(spark, "stream").as[Long].collect().sorted.toSeq
+
+    val compacted = t.compact(spark, "stream", targetFiles = 2)
+    assert(compacted.files.size <= 2)
+    assert(compacted.parentId == before.snapshotId)
+    assert(compacted.properties("compactedFromFiles").toInt == before.files.size)
+    // same rows after compaction; pre-compaction snapshot still readable
+    assert(t.read(spark, "stream").as[Long].collect().sorted.toSeq == rows)
+    assert(t.read(spark, "stream", before.snapshotId)
+      .as[Long].collect().sorted.toSeq == rows)
+    // appends keep working on top of the compacted manifest
+    t.append(Seq(99L).toDF("id"), "stream")
+    assert(t.read(spark, "stream").as[Long].collect().sorted.toSeq == (rows :+ 99L))
+  }
+
   test("IcebergLite: json escaping round-trips hostile property values") {
     import spark.implicits._
     val t = new IcebergLite(tmp())
