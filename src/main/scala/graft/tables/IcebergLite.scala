@@ -134,7 +134,11 @@ class IcebergLite(rootDir: String) {
     val cur = currentSnapshot(table)
       .getOrElse(throw NoSuchTable(s"table $table has no snapshots"))
     val df = read(spark, table).repartition(targetFiles)
-    commit(df, table, Map(
+    // INHERIT the parent's properties: compaction changes the file layout,
+    // not the logical state — markers like the streaming sink's `batchId`
+    // idempotence guard must survive, or a micro-batch replayed after a
+    // compaction would be double-appended
+    commit(df, table, cur.properties - "appendedRows" ++ Map(
       "compactedFromSnapshot" -> cur.snapshotId.toString,
       "compactedFromFiles" -> cur.files.size.toString))
   }

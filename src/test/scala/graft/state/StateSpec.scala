@@ -55,8 +55,10 @@ class StateSpec extends SparkTestBase {
     // simulate a streaming table: many tiny appends, multi-file each
     t.commit((1L to 10L).toDF("id").repartition(4), "stream")
     (1 to 4).foreach(i =>
-      t.append(Seq(10L + i).toDF("id").repartition(2), "stream"))
+      t.append(Seq(10L + i).toDF("id").repartition(2), "stream",
+        Map("batchId" -> i.toString)))
     val before = t.currentSnapshot("stream").get
+    assert(before.properties("batchId") == "4")
     assert(before.files.size >= 8, s"expected small-file buildup, got ${before.files.size}")
     val rows = t.read(spark, "stream").as[Long].collect().sorted.toSeq
 
@@ -64,6 +66,10 @@ class StateSpec extends SparkTestBase {
     assert(compacted.files.size <= 2)
     assert(compacted.parentId == before.snapshotId)
     assert(compacted.properties("compactedFromFiles").toInt == before.files.size)
+    // logical-state properties survive compaction (the streaming sink's
+    // batchId idempotence guard depends on this)
+    assert(compacted.properties.get("batchId") == before.properties.get("batchId"))
+    assert(!compacted.properties.contains("appendedRows"))
     // same rows after compaction; pre-compaction snapshot still readable
     assert(t.read(spark, "stream").as[Long].collect().sorted.toSeq == rows)
     assert(t.read(spark, "stream", before.snapshotId)
