@@ -128,6 +128,11 @@ class PipelineSpec extends SparkTestBase {
     // map to themselves
     assert(got.exists { case (i, c) => i != c })
     assert(got.count { case (i, c) => i == c } > got.size / 2)
+    // degenerate corpus with NO near-dup pairs: identity mapping, no blowup
+    val noPairs = Dedup.canonicalize(docs.toDF(), "doc_id",
+      spark.emptyDataset[(Long, Long)].toDF("a", "b"))
+      .as[(Long, Long)].collect()
+    assert(noPairs.length == ids.length && noPairs.forall { case (i, c) => i == c })
   }
 
   test("exact dedup groups identical normalized texts") {
