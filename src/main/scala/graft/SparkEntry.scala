@@ -344,6 +344,13 @@ object SparkEntry {
         TextAnalysis.fingerprintMd5($"text").as("fp"))
     },
 
+    "t_winnow" -> { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.winnow(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 6)
+        .select($"id".as("doc_id"), $"pos", $"fp")
+    },
+
     "s_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
@@ -602,6 +609,24 @@ object SparkEntry {
     "t_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    // winnowing: k-gram hashes, per-window argmin with RIGHTMOST tie —
+    // min over a (h, -pos) struct; windows enumerated per doc
+    "t_winnow" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT doc_id, pos, substr(md5(substr(text, CAST(pos AS INT), 8)), 1, 8) AS h
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(len(text) - 8 + 1, 0) + 1)) AS pos
+        |        FROM documents)),
+        |nn AS (SELECT doc_id, MAX(pos) AS n FROM g GROUP BY doc_id),
+        |ws AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(1, greatest(n - 6 + 1, 1) + 1)) AS wstart FROM nn),
+        |sel AS (
+        |  SELECT w.doc_id, w.wstart, MIN({'h': g.h, 'np': -g.pos}) AS m
+        |  FROM ws w JOIN g ON g.doc_id = w.doc_id
+        |    AND g.pos >= w.wstart AND g.pos <= w.wstart + 6 - 1
+        |  GROUP BY 1, 2)
+        |SELECT DISTINCT doc_id, CAST(-m.np AS BIGINT) AS pos, m.h AS fp FROM sel""".stripMargin,
 
     "s_ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0,1,2,3,4)),

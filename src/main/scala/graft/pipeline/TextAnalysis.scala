@@ -115,4 +115,81 @@ object TextAnalysis {
     h
   }
   val fingerprintFnv = udf((s: String) => fnv1a64(if (s == null) "" else s))
+
+  // ---------------------------------------------------------------------------
+  // Winnowing (sub-document fingerprints)
+  // ---------------------------------------------------------------------------
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /**
+   * Winnowing fingerprint kernel (Schleimer–Wilkerson–Aiken, SIGMOD'03):
+   * hash every char k-gram, slide a w-gram window, select the window's
+   * minimum hash (RIGHTMOST position on ties), emit the distinct selections
+   * as (1-based gram position, hash). Whole-doc digests only find identical
+   * documents; winnowing's guarantee is per-PASSAGE: any shared substring of
+   * length ≥ k + w - 1 yields at least one shared fingerprint, and no
+   * selected gap exceeds w (both property-tested in KernelProperties).
+   *
+   * Hash = first 8 hex chars of md5(gram) so the DuckDB oracle reproduces
+   * the selection bit-for-bit. One pass per document: a monotone deque keeps
+   * window minima at O(1) amortized per gram (equal-hash entries are popped
+   * when a later one arrives, which IS the rightmost-tie rule). Documents
+   * shorter than k produce no fingerprints; documents with fewer than w
+   * grams are one degenerate window.
+   */
+  def winnowSeq(text: String, k: Int, w: Int): Seq[(Long, String)] = {
+    require(k > 0 && w > 0, "winnow needs k > 0 and w > 0")
+    if (text == null) return Seq.empty
+    val n = text.length - k + 1
+    if (n <= 0) return Seq.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(text.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(8)
+      var b = 0
+      while (b < 4) {
+        sb.append(HexChars((d(b) >> 4) & 0xf)).append(HexChars(d(b) & 0xf))
+        b += 1
+      }
+      hs(i) = sb.toString
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[(Long, String)]()
+    val deque = new java.util.ArrayDeque[Int]()
+    val nwin = math.max(n - w + 1, 1)
+    var j = 0
+    var s = 0
+    while (s < nwin) {
+      val end = math.min(s + w, n) // window grams [s, end)
+      while (j < end) {
+        while (!deque.isEmpty && hs(deque.peekLast()) >= hs(j)) deque.pollLast()
+        deque.addLast(j)
+        j += 1
+      }
+      while (deque.peekFirst() < s) deque.pollFirst()
+      val sel = deque.peekFirst()
+      out.add(((sel + 1).toLong, hs(sel)))
+      s += 1
+    }
+    import scala.jdk.CollectionConverters._
+    out.iterator().asScala.toSeq
+  }
+
+  private val winnowUdf = udf((s: String, k: Int, w: Int) => winnowSeq(s, k, w))
+
+  /** Winnowing fingerprints as a table: (id, pos, fp) — distinct selected
+    * (position, hash) pairs per document. Narrow (one UDF pass per doc +
+    * explode); the inverted index over `fp` is what a shared-passage search
+    * joins on. */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 6): DataFrame = {
+    docs.select(col(idCol).as("id"),
+        explode(winnowUdf(col(textCol), lit(k), lit(w))).as("sel"))
+      .select(col("id"), col("sel._1").as("pos"), col("sel._2").as("fp"))
+  }
 }

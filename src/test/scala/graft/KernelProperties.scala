@@ -165,6 +165,45 @@ object KernelProperties extends Properties("kernels") {
     }
 
   // ---------------------------------------------------------------------------
+  // winnowing fingerprints
+  // ---------------------------------------------------------------------------
+
+  private val smallTextGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString)
+
+  property("winnow: coverage guarantee — every w-gram window holds a selection") =
+    Prop.forAll(smallTextGen, Gen.chooseNum(2, 6), Gen.chooseNum(2, 8)) { (t, k, w) =>
+      val n = t.length - k + 1
+      val sel = graft.pipeline.TextAnalysis.winnowSeq(t, k, w)
+        .map(p => (p._1 - 1).toInt).toSet
+      n <= 0 || (0 until math.max(n - w + 1, 1)).forall(s =>
+        (s until math.min(s + w, n)).exists(sel.contains))
+    }
+
+  property("winnow: shared substring of length ≥ k+w-1 shares a fingerprint") =
+    Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr, Gen.alphaNumStr) { (a, b, core0 ) =>
+      val k = 4; val w = 3
+      // pad the shared passage to the theorem's minimum length
+      val core = (core0 + "X" * (k + w - 1)).take(math.max(core0.length, k + w - 1))
+      val d1 = a + core + b
+      val d2 = b + "|" + core + "|" + a
+      val f1 = graft.pipeline.TextAnalysis.winnowSeq(d1, k, w).map(_._2).toSet
+      val f2 = graft.pipeline.TextAnalysis.winnowSeq(d2, k, w).map(_._2).toSet
+      f1.intersect(f2).nonEmpty
+    }
+
+  property("winnow: deterministic, 1-based positions within range, total on null/short") =
+    Prop.forAll(smallTextGen) { t =>
+      val k = 5; val w = 4
+      val s1 = graft.pipeline.TextAnalysis.winnowSeq(t, k, w)
+      val n = t.length - k + 1
+      s1 == graft.pipeline.TextAnalysis.winnowSeq(t, k, w) &&
+        s1.forall { case (p, h) => p >= 1 && p <= math.max(n, 0) && h.length == 8 } &&
+        graft.pipeline.TextAnalysis.winnowSeq(null, k, w).isEmpty &&
+        (n > 0 || s1.isEmpty)
+    }
+
+  // ---------------------------------------------------------------------------
   // bounded top-k heap (the ANN ranking aggregate's kernel)
   // ---------------------------------------------------------------------------
 
