@@ -149,7 +149,11 @@ object Cli {
           val input = arg(args, "input").getOrElse(usageError("--input required"))
           val output = arg(args, "output").getOrElse(usageError("--output required"))
           val compactOver = intArg(args, "compact-over").getOrElse(64)
-          graft.streaming.IngestStream.run(spark, input, output)
+          // compaction is AUTO: the sink folds small files mid-stream once
+          // the manifest exceeds the threshold (batchId guard survives —
+          // compact inherits snapshot properties)
+          graft.streaming.IngestStream.run(spark, input, output,
+              compactOver = compactOver)
             .foreach(_.awaitTermination())
           val cat = new graft.tables.IcebergLite(output)
           cat.currentSnapshot("links_raw") match {
@@ -157,13 +161,6 @@ object Cli {
               println(
                 s"links_raw at snapshot ${s.snapshotId}: ${s.rowCount} pages, " +
                   s"${s.files.size} data files, lastBatch=${s.properties.getOrElse("batchId", "?")}")
-              // fast appends accumulate one file set per micro-batch; fold
-              // the small files back down once they pile past the threshold
-              if (compactOver > 0 && s.files.size > compactOver) {
-                val c = cat.compact(spark, "links_raw", targetFiles = compactOver / 4)
-                println(s"compacted ${s.files.size} files -> ${c.files.size} " +
-                  s"(snapshot ${c.snapshotId})")
-              }
             case None => println("no input files found; nothing committed")
           }
 

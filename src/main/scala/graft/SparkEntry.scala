@@ -138,7 +138,11 @@ object SparkEntry {
     * edge list, then `iters` rounds of one-hop min-label propagation — each
     * round reaches one hop further, so any `iters` ≥ the largest cluster
     * diameter is exact (near-dup clusters are near-cliques; 16 is a wide
-    * margin). MATERIALIZED per round or DuckDB re-inlines the whole chain. */
+    * margin). The margin is not ASSUMED: one extra round is unrolled and the
+    * final SELECT `error()`s unless round `iters` equals round `iters`+1 —
+    * a chained cluster deeper than the unroll surfaces as an oracle ERROR,
+    * never as a silent false mismatch against Spark's exact CC.
+    * MATERIALIZED per round or DuckDB re-inlines the whole chain. */
   private def clustersSql(iters: Int): String = {
     val head =
       s"""WITH $ShinglesCte,
@@ -154,7 +158,7 @@ object SparkEntry {
          |  WHERE c.common / (sa.sz + sb.sz - c.common) >= 0.5),
          |undp AS MATERIALIZED (SELECT a AS u, b AS v FROM jacc UNION SELECT b, a FROM jacc),
          |c0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM documents)""".stripMargin
-    val steps = (1 to iters).map { i =>
+    val steps = (1 to iters + 1).map { i =>
       val p = s"c${i - 1}"
       s""",
          |c$i AS MATERIALIZED (
@@ -165,8 +169,44 @@ object SparkEntry {
          |  GROUP BY l.id, l.label)""".stripMargin
     }.mkString
     head + steps +
-      s"\nSELECT id, CAST(label AS BIGINT) AS canonical_id FROM c$iters"
+      s"""
+         |SELECT a.id,
+         |  CAST(CASE WHEN a.label = b.label THEN a.label
+         |       ELSE error('d_clusters oracle not converged in $iters rounds')
+         |  END AS BIGINT) AS canonical_id
+         |FROM c$iters a JOIN c${iters + 1} b ON a.id = b.id""".stripMargin
   }
+
+  /** Winnowing selection per doc at gram size `k`, window `w`: per-doc
+    * k-gram hash list, per-window list_min with the RIGHTMOST tie via
+    * first-occurrence-in-reversed-window. Shared by the t_winnow and
+    * d_passages oracles. */
+  private def winnowSelCte(k: Int, w: Int): String =
+    s"""hl AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         list_transform(range(1, greatest(len(text) - $k + 1, 0) + 1),
+       |                        i -> substr(md5(substr(text, CAST(i AS INT), $k)), 1, 8)) AS hs
+       |  FROM documents),
+       |ws AS (
+       |  SELECT doc_id, hs, len(hs) AS n,
+       |         unnest(range(1, greatest(len(hs) - $w + 1, 1) + 1)) AS s
+       |  FROM hl WHERE len(hs) > 0),
+       |sel AS (
+       |  SELECT doc_id,
+       |         list_min(list_slice(hs, s, least(s + $w - 1, n))) AS m,
+       |         s + (least(s + $w - 1, n) - s + 1)
+       |           - list_position(list_reverse(list_slice(hs, s, least(s + $w - 1, n))),
+       |                           list_min(list_slice(hs, s, least(s + $w - 1, n)))) AS pos
+       |  FROM ws)""".stripMargin
+
+  /** d_passages parameters: 16-char grams / window 8 (detects any shared
+    * passage of ≥ 23 chars), pairs sharing ≥ 2 distinct fingerprints. On
+    * the synthetic word-pool corpus, 8-char grams are near-ubiquitous
+    * boilerplate (the operator's maxPostings cut exists for that); 16-char
+    * grams discriminate: ~1k pairs of C(500,2) at sf0.01. */
+  private val PassagesK = 16
+  private val PassagesW = 8
+  private val PassagesMinShared = 2
 
   private val MinhashSigCte = {
     val mins = (0 until 8).map(i => s"MIN(md5('$i|' || shingle)) AS m$i").mkString(", ")
@@ -350,6 +390,10 @@ object SparkEntry {
         k = 8, w = 6)
         .select($"id".as("doc_id"), $"pos", $"fp")
     },
+
+    "d_passages" -> ((s, dir) =>
+      Dedup.winnowPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        k = PassagesK, w = PassagesW, minShared = PassagesMinShared.toLong)),
 
     "s_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
@@ -615,23 +659,19 @@ object SparkEntry {
     // doc, no range join (the join formulation was exact too but quadratic
     // per doc in DuckDB: >10 min at sf0.1 vs 6 s for this one)
     "t_winnow" ->
-      """WITH hl AS MATERIALIZED (
-        |  SELECT doc_id,
-        |         list_transform(range(1, greatest(len(text) - 8 + 1, 0) + 1),
-        |                        i -> substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8)) AS hs
-        |  FROM documents),
-        |ws AS (
-        |  SELECT doc_id, hs, len(hs) AS n,
-        |         unnest(range(1, greatest(len(hs) - 6 + 1, 1) + 1)) AS s
-        |  FROM hl WHERE len(hs) > 0),
-        |sel AS (
-        |  SELECT doc_id,
-        |         list_min(list_slice(hs, s, least(s + 6 - 1, n))) AS m,
-        |         s + (least(s + 6 - 1, n) - s + 1)
-        |           - list_position(list_reverse(list_slice(hs, s, least(s + 6 - 1, n))),
-        |                           list_min(list_slice(hs, s, least(s + 6 - 1, n)))) AS pos
-        |  FROM ws)
-        |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, m AS fp FROM sel""".stripMargin,
+      s"""WITH ${winnowSelCte(8, 6)}
+         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, m AS fp FROM sel""".stripMargin,
+
+    // shared-passage pairs: the winnow selection reduced to DISTINCT
+    // (doc, fp) postings, then the same inverted-index join the Spark side
+    // runs (Dedup.winnowPairs)
+    "d_passages" ->
+      s"""WITH ${winnowSelCte(PassagesK, PassagesW)},
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, m AS fp FROM sel)
+         |SELECT f1.doc_id AS a, f2.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared
+         |FROM fps f1 JOIN fps f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= $PassagesMinShared""".stripMargin,
 
     "s_ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0,1,2,3,4)),

@@ -184,6 +184,39 @@ object Dedup {
     out
   }
 
+  /**
+   * Shared-passage near-duplicate pairs over winnowing fingerprints — the
+   * query a contamination/overlap audit actually runs: doc pairs (a < b)
+   * sharing ≥ `minShared` distinct fingerprints from
+   * [[TextAnalysis.winnowFingerprints]]. Whole-doc digests and shingle
+   * Jaccard miss a copied PARAGRAPH inside otherwise-different documents;
+   * winnowing's guarantee makes it visible — any shared passage of
+   * ≥ k + w - 1 characters contributes at least one shared fingerprint, so
+   * `minShared = 1` has full recall on such passages and higher values
+   * demand proportionally longer (or repeated) overlap.
+   *
+   * Same inverted-index shape as [[jaccardCandidates]] (postings equi-join,
+   * never a cross join), including the stop cut: `maxPostings` drops
+   * fingerprints posted by more than that many docs — at corpus scale those
+   * are boilerplate (headers, license blurbs), not evidence of a shared
+   * passage, and they are exactly the postings² terms that blow up the join.
+   * Output: (a, b, shared).
+   */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 6, minShared: Long = 2L,
+      maxPostings: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fps = TextAnalysis.winnowFingerprints(docs, idCol, textCol, k, w)
+      .select($"id", $"fp".as("shingle")).persist()
+    val out = jaccardCandidates(fps, maxPostings)
+      .select($"a", $"b", $"common".as("shared"))
+      .filter($"shared" >= minShared)
+      .localCheckpoint(true)
+    fps.unpersist()
+    out
+  }
+
   // ---------------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------------

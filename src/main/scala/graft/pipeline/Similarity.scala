@@ -97,13 +97,21 @@ object Similarity {
       planes: Int = 8, seed: Long = 42L, dim: Int = -1): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val d = if (dim > 0) dim else vectors.select(size(col(vecCol))).first().getInt(0)
+    val d = if (dim > 0) dim
+      else vectors.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).first().getInt(0)
     // a WRONG caller-passed dim would make every kernel eval NULL (length
     // mismatch) and silently funnel the whole corpus into bucket 0 — an
-    // O(N²) self-join instead of an error. Guard in the same scan, no job:
-    val vec = when(size(col(vecCol)) === d, col(vecCol)).otherwise(raise_error(
-      concat(lit(s"lshBucket: dim=$d but embedding has "),
-        size(col(vecCol)).cast("string"), lit(" elements"))))
+    // O(N²) self-join instead of an error. Guard in the same scan, no job.
+    // A NULL embedding passes THROUGH (first branch): the lenient cosine
+    // yields NULL ⇒ bit 0, same as a zero vector — one degenerate row must
+    // not kill the job (the guard is for mis-sized arrays only, where
+    // size() is non-NULL and ≠ d).
+    val vec = when(col(vecCol).isNull, col(vecCol))
+      .when(size(col(vecCol)) === d, col(vecCol))
+      .otherwise(raise_error(
+        concat(lit(s"lshBucket: dim=$d but embedding has "),
+          size(col(vecCol)).cast("string"), lit(" elements"))))
     val planeCols = (0 until planes).map { p =>
       // sign(dot) == sign(cosine): reuse the native codegen'd kernel
       // (lenient: a zero vector has no sign — NULL ⇒ bit 0, job survives)

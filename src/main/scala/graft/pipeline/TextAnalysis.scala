@@ -132,23 +132,34 @@ object TextAnalysis {
    * selected gap exceeds w (both property-tested in KernelProperties).
    *
    * Hash = first 8 hex chars of md5(gram) so the DuckDB oracle reproduces
-   * the selection bit-for-bit. One pass per document: a monotone deque keeps
-   * window minima at O(1) amortized per gram (equal-hash entries are popped
-   * when a later one arrives, which IS the rightmost-tie rule). Documents
-   * shorter than k produce no fingerprints; documents with fewer than w
-   * grams are one degenerate window.
+   * the selection bit-for-bit. Grams are k Unicode CODE POINTS (never split
+   * a surrogate pair): DuckDB's len/substr count code points, so UTF-16-unit
+   * indexing would diverge from the oracle on non-BMP text (emoji); for BMP
+   * text the two are identical. One pass per document: a monotone deque
+   * keeps window minima at O(1) amortized per gram (equal-hash entries are
+   * popped when a later one arrives, which IS the rightmost-tie rule).
+   * Documents shorter than k code points produce no fingerprints; documents
+   * with fewer than w grams are one degenerate window.
    */
   def winnowSeq(text: String, k: Int, w: Int): Seq[(Long, String)] = {
     require(k > 0 && w > 0, "winnow needs k > 0 and w > 0")
     if (text == null) return Seq.empty
-    val n = text.length - k + 1
+    val cps = text.codePointCount(0, text.length)
+    val n = cps - k + 1
     if (n <= 0) return Seq.empty
+    // char offset of each code-point boundary (cps+1 entries); amortized
+    // O(length) — each offsetByCodePoints advances exactly one code point
+    val off = new Array[Int](cps + 1)
+    var ci = 0
+    var cp = 0
+    while (cp < cps) { off(cp) = ci; ci = text.offsetByCodePoints(ci, 1); cp += 1 }
+    off(cps) = text.length
     val md = java.security.MessageDigest.getInstance("MD5")
     val hs = new Array[String](n)
     var i = 0
     while (i < n) {
       md.reset()
-      val d = md.digest(text.substring(i, i + k)
+      val d = md.digest(text.substring(off(i), off(i + k))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val sb = new java.lang.StringBuilder(8)
       var b = 0
@@ -192,4 +203,19 @@ object TextAnalysis {
         explode(winnowUdf(col(textCol), lit(k), lit(w))).as("sel"))
       .select(col("id"), col("sel._1").as("pos"), col("sel._2").as("fp"))
   }
+
+  private val winnowFpUdf = udf((s: String, k: Int, w: Int) =>
+    winnowSeq(s, k, w).map(_._2).distinct)
+
+  /** Distinct selected fingerprint hashes per document (positions dropped) —
+    * the posting list a shared-passage inverted index joins on
+    * ([[graft.pipeline.Dedup.winnowPairs]]). Dedup happens INSIDE the kernel
+    * (before the explode) so it is narrow — no shuffle; equivalent to
+    * `winnow(...).select(id, fp).distinct()` because ids are unique per
+    * input row (the same primary-key contract [[graft.pipeline.Dedup.docShingles]]
+    * documents). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 6): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(winnowFpUdf(col(textCol), lit(k), lit(w))).as("fp"))
 }

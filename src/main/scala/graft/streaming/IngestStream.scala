@@ -41,10 +41,19 @@ object IngestStream {
     * stops (tests, backfills); pass a processing-time trigger for a live
     * tail. Returns None when `inputDir` has no parquet files yet (schema
     * inference needs at least one footer) — the "nothing to ingest" outcome
-    * the CLI reports instead of an AnalysisException. */
+    * the CLI reports instead of an AnalysisException.
+    *
+    * `compactOver > 0` enables AUTO-COMPACTION: fast appends write O(batch)
+    * small files per micro-batch, so a long-running table accumulates them
+    * (the classic small-file problem); when the post-append manifest lists
+    * more than `compactOver` data files, the sink folds them down to
+    * `max(1, compactOver/4)` in the same batch callback. Compaction INHERITS
+    * snapshot properties, so the `batchId` idempotence guard survives it —
+    * a batch replayed after a mid-stream compaction is still skipped. */
   def run(spark: SparkSession, inputDir: String, warehouse: String,
       table: String = "links_raw",
-      trigger: Trigger = Trigger.AvailableNow()): Option[StreamingQuery] = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactOver: Int = 0): Option[StreamingQuery] = {
     val schema =
       try spark.read.parquet(inputDir).schema
       catch {
@@ -66,8 +75,11 @@ object IngestStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val alreadyCommitted = cat.currentSnapshot(table)
           .exists(_.properties.get("batchId").exists(_.toLong >= batchId))
-        if (!alreadyCommitted)
-          cat.append(batch, table, Map("batchId" -> batchId.toString))
+        if (!alreadyCommitted) {
+          val snap = cat.append(batch, table, Map("batchId" -> batchId.toString))
+          if (compactOver > 0 && snap.files.size > compactOver)
+            cat.compact(spark, table, targetFiles = math.max(1, compactOver / 4))
+        }
         ()
       }
       .start())

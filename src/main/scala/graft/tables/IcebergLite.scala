@@ -133,7 +133,9 @@ class IcebergLite(rootDir: String) {
   def compact(spark: SparkSession, table: String, targetFiles: Int = 8): Snapshot = {
     val cur = currentSnapshot(table)
       .getOrElse(throw NoSuchTable(s"table $table has no snapshots"))
-    val df = read(spark, table).repartition(targetFiles)
+    // clamp: repartition(0) throws, and a caller-computed `threshold/4` can
+    // legitimately floor to 0
+    val df = read(spark, table).repartition(math.max(1, targetFiles))
     // INHERIT the parent's properties: compaction changes the file layout,
     // not the logical state — markers like the streaming sink's `batchId`
     // idempotence guard must survive, or a micro-batch replayed after a

@@ -203,6 +203,43 @@ object KernelProperties extends Properties("kernels") {
         (n > 0 || s1.isEmpty)
     }
 
+  /** Quadratic reference winnow over CODE POINTS — the semantics DuckDB's
+    * len/substr (character-counting) oracle implements. The deque kernel
+    * must match it on any valid string, including non-BMP (astral) chars
+    * where UTF-16-unit indexing would split surrogate pairs. */
+  private def winnowNaive(t: String, k: Int, w: Int): Set[(Long, String)] = {
+    val cps: Array[String] = t.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    val n = cps.length - k + 1
+    if (n <= 0) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = (0 until n).map { i =>
+      md.reset()
+      md.digest(cps.slice(i, i + k).mkString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+    }
+    (0 until math.max(n - w + 1, 1)).map { s =>
+      val win = hs.slice(s, math.min(s + w, n))
+      val m = win.min
+      val sel = s + win.lastIndexOf(m) // rightmost tie
+      ((sel + 1).toLong, hs(sel))
+    }.toSet
+  }
+
+  private val astralTextGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.choose('a'.toInt, 'z'.toInt),
+      2 -> Gen.const(' '.toInt),
+      2 -> Gen.choose(0x1F600, 0x1F64F),   // emoji block (astral)
+      1 -> Gen.choose(0x10000, 0x100FF)))
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString)
+
+  property("winnow: deque kernel ≡ naive code-point reference (incl. astral chars)") =
+    Prop.forAll(astralTextGen, Gen.chooseNum(2, 5), Gen.chooseNum(2, 6)) { (t, k, w) =>
+      graft.pipeline.TextAnalysis.winnowSeq(t, k, w).toSet == winnowNaive(t, k, w)
+    }
+
   // ---------------------------------------------------------------------------
   // bounded top-k heap (the ANN ranking aggregate's kernel)
   // ---------------------------------------------------------------------------

@@ -135,6 +135,73 @@ class PipelineSpec extends SparkTestBase {
     assert(noPairs.length == ids.length && noPairs.forall { case (i, c) => i == c })
   }
 
+  test("canonicalize over banded LSH ≡ canonicalize over exact jaccard (θ=0.5)") {
+    import spark.implicits._
+    // the 100 TB path is canonicalize(minhashLshPairs(...)): banded LSH
+    // bounds the candidate set where the exact postings join is corpus-
+    // quadratic. The two can diverge where banding misses a pair (Jaccard
+    // ≥ θ but no shared band — at k=8/bands=4 the per-pair admit prob is
+    // 1-(1-J²)⁴, e.g. ~0.92 at J=0.5) AND transitive closure through other
+    // pairs does not bridge the gap; near-dup clusters are near-cliques, so
+    // in practice (and on this fixture, asserted here) the CLUSTER
+    // assignment is identical even though the pair SETS may not be.
+    val exact = Dedup.canonicalize(docs.toDF(), "doc_id",
+        Dedup.jaccardPairs(docs.toDF(), "doc_id", "text", n = 3, threshold = 0.5))
+      .as[(Long, Long)].collect().toMap
+    val lsh = Dedup.canonicalize(docs.toDF(), "doc_id",
+        Dedup.minhashLshPairs(docs.toDF(), "doc_id", "text",
+          n = 3, k = 8, bands = 4, verifyThreshold = 0.5))
+      .as[(Long, Long)].collect().toMap
+    assert(exact.size == lsh.size)
+    val diff = exact.collect { case (id, c) if lsh(id) != c => (id, c, lsh(id)) }
+    assert(diff.isEmpty, s"cluster assignment diverged: ${diff.take(5)}")
+  }
+
+  test("winnow pairs: full recall on shared substrings ≥ k+w-1 chars vs gram oracle") {
+    import spark.implicits._
+    val k = 8; val w = 6; val g = k + w - 1 // the winnowing guarantee length
+    // brute-force oracle on the fixture corpus: any pair sharing a common
+    // substring of length ≥ g shares a g-gram, and the winnowing guarantee
+    // says such a pair shares ≥ 1 fingerprint — so it MUST appear at
+    // minShared = 1. (The converse is not a theorem: a shared fingerprint
+    // only implies a shared k-gram, which is the precision check below.)
+    val gramsG: Map[Long, Set[String]] = docList.map { case (id, t) =>
+      id -> (if (t.length < g) Set.empty[String] else t.sliding(g).toSet)
+    }.toMap
+    val want = (for {
+      (a, _) <- docList; (b, _) <- docList if a < b
+      if gramsG(a).exists(gramsG(b).contains)
+    } yield (a, b)).toSet
+    val got = Dedup.winnowPairs(docs.toDF(), "doc_id", "text",
+        k = k, w = w, minShared = 1L)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(want.subsetOf(got),
+      s"recall hole: ${(want -- got).take(5)} missing of ${want.size}")
+    // precision: every reported pair genuinely shares a k-gram
+    val gramsK: Map[Long, Set[String]] = docList.map { case (id, t) =>
+      id -> (if (t.length < k) Set.empty[String] else t.sliding(k).toSet)
+    }.toMap
+    assert(got.forall { case (a, b) => gramsK(a).exists(gramsK(b).contains) })
+    // a planted passage inside otherwise-unrelated documents is detected,
+    // and the unrelated document stays out
+    val planted = Seq(
+      (1L, "first document unrelated prefix THE-SHARED-PASSAGE-IS-HERE suffix one"),
+      (2L, "completely different body text THE-SHARED-PASSAGE-IS-HERE tail part"),
+      (3L, "zzzzzzzzzzzz qqqqqqqqqqqq wwwwwwwwwwww eeeeeeeeeeee rrrrrrrrrrrr"))
+      .toDF("doc_id", "text")
+    val pp = Dedup.winnowPairs(planted, "doc_id", "text", k = k, w = w,
+        minShared = 1L)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pp.contains((1L, 2L)), "planted shared passage missed")
+    assert(!pp.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+    // the stop cut drops ubiquitous fingerprints but keeps the planted pair
+    // (its passage fingerprints post to only 2 docs)
+    val cut = Dedup.winnowPairs(planted, "doc_id", "text", k = k, w = w,
+        minShared = 1L, maxPostings = 2L)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(cut.contains((1L, 2L)))
+  }
+
   test("exact dedup groups identical normalized texts") {
     import spark.implicits._
     val res = Dedup.exact(docs, "doc_id", "text")

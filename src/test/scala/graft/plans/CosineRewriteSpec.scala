@@ -82,20 +82,32 @@ class CosineRewriteSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.ansi.enabled")
   }
 
-  test("one zero vector does not abort ANN bucketing/ranking/near-dup jobs") {
+  test("one zero or NULL vector does not abort ANN bucketing/ranking/near-dup jobs") {
     import spark.implicits._
     val withZero = embs.select($"vec_id", $"embedding").limit(20)
       .union(Seq((9999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+      .union(Seq((9998L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
     // all three pipelines complete under the default-ANSI session; the
-    // degenerate vector simply never ranks (NULL scores are skipped)
+    // degenerate vectors simply never rank (NULL scores are skipped; a NULL
+    // embedding passes the lshBucket dim guard and lands in bucket 0)
     val bf = Similarity.bruteForceTopK(withZero, "vec_id", "embedding",
       Seq(0L, 9999L), k = 3).collect()
-    assert(bf.nonEmpty && !bf.exists(_.getLong(2) == 9999L),
-      "zero vector must not appear as a neighbor")
+    assert(bf.nonEmpty && !bf.exists(r => r.getLong(2) == 9999L || r.getLong(2) == 9998L),
+      "degenerate vectors must not appear as neighbors")
     assert(Similarity.lshTopK(withZero, "vec_id", "embedding", Seq(0L),
       k = 3, planes = 4).count() > 0)
     Similarity.embeddingNearDupPairs(withZero, "vec_id", "embedding",
       threshold = 0.45, blocks = 4).collect() // completes, no throw
+    // a MIS-SIZED (non-null) embedding is a data bug, not a degenerate row:
+    // the in-scan dim guard must still abort rather than mis-bucket
+    val ragged = withZero
+      .union(Seq((9997L, Array.fill(3)(1.0f))).toDF("vec_id", "embedding"))
+    val e = intercept[Exception] {
+      Similarity.lshBucket(ragged, "vec_id", "embedding", planes = 4, dim = 64).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(e).exists(m => m != null && m.contains("lshBucket: dim=64")))
   }
 
   test("non-matching shapes are left alone (conservative match)") {

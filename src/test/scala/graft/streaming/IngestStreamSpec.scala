@@ -60,6 +60,43 @@ class IngestStreamSpec extends SparkTestBase {
     assert(cur.parentId >= 0, "incremental commit must chain to the parent")
   }
 
+  test("auto-compaction folds small files mid-stream; batchId guard survives it") {
+    import spark.implicits._
+    val inputDir = tmp()
+    val wh = tmp()
+    val cat = new IcebergLite(wh)
+    // six crawl segments drained one at a time: each run() is one
+    // fast-append micro-batch, each appending spark.sql.shuffle.partitions-
+    // bounded small files — past compactOver the sink folds them in-stream
+    val compactOver = 4
+    for (seed <- 1 to 6) {
+      SynthCorpus.generate(spark, 40, seed = seed.toLong).toDF()
+        .write.mode("append").parquet(inputDir)
+      IngestStream.run(spark, inputDir, wh, compactOver = compactOver)
+        .get.awaitTermination()
+    }
+    val cur = cat.currentSnapshot("links_raw").get
+    assert(cur.files.size <= compactOver + 1,
+      s"auto-compaction never fired: ${cur.files.size} files")
+    assert(cat.snapshots("links_raw")
+      .exists(_.properties.contains("compactedFromSnapshot")))
+    // logical state: table == batch extraction over all six segments
+    val table = cat.read(spark, "links_raw")
+      .selectExpr("url", "coalesce(redirect_to, '∅')", "explode_outer(links) as link")
+      .as[(String, String, String)].collect().toSet
+    val batch = IngestStream.extracted(spark.read.parquet(inputDir))
+      .selectExpr("url", "coalesce(redirect_to, '∅')", "explode_outer(links) as link")
+      .as[(String, String, String)].collect().toSet
+    assert(table == batch && batch.nonEmpty)
+    // the batchId idempotence marker survived compaction: a full replay
+    // (fresh files already checkpointed) appends nothing
+    val snaps = cat.snapshots("links_raw").size
+    IngestStream.run(spark, inputDir, wh, compactOver = compactOver)
+      .get.awaitTermination()
+    assert(cat.snapshots("links_raw").size == snaps)
+    assert(cat.currentSnapshot("links_raw").get.properties.contains("batchId"))
+  }
+
   test("empty or missing input dir starts no query and commits nothing") {
     val wh = tmp()
     assert(IngestStream.run(spark, tmp(), wh).isEmpty)           // empty dir
