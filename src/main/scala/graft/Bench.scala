@@ -29,8 +29,26 @@ object Bench {
   private val Headline = Seq(
     "g_edges", "g_degrees", "g_adjacency", "g_triangles", "g_cc", "g_bfs",
     "g_pagerank", "q1_agg", "q_join_revenue", "q_window_events",
-    "d_exact", "d_jaccard", "d_minhash_lsh", "d_clusters",
+    "d_exact", "d_jaccard", "d_minhash_lsh", "d_clusters", "d_passages",
     "t_langid", "s_ann_topk", "s_neardup", "x_simhash_pairs")
+
+  /** Fixed single-thread CPU spin (2e8 xorshift steps), timed — the
+    * CALIBRATION scalar: it has no I/O, no JVM-warmup sensitivity beyond
+    * the first call, and a known quiet-box cost, so a polluted benchmark
+    * window shows up as an inflated spin in the artifact itself instead of
+    * needing cross-referenced reruns (the round-3 driver artifact was ~3×
+    * inflated and only six local artifacts proved it environmental). */
+  private def spinSeconds(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    if (x == 0L) System.err.println("") // keep the loop live
+    (System.nanoTime() - t0) / 1e9
+  }
 
   private def session(cores: Int): SparkSession = {
     val s = GraftSession.builder(cores).getOrCreate()
@@ -113,21 +131,33 @@ object Bench {
     val efficiency = thr4N / (4.0 * thrN)
 
     // --- headline queries + route latency at full cores ---
+    val spinScaling = spinSeconds() // calibrates the scaling window above
     val spark = session(cpus)
     import spark.implicits._
-    val results: Seq[(String, Double)] = Headline.flatMap { name =>
+    val spinStart = spinSeconds()
+    // BEST-OF-2 per query: each runs twice back-to-back and reports the
+    // min — the same min-statistic argument as the scaling supersteps
+    // (noise from co-tenant load, GC, and cold page cache is strictly
+    // one-sided), and it retires the recurring cold-start-inflation class
+    // (x_simhash_pairs read 3.9-5.0 s in three driver artifacts, 0.7-0.9 s
+    // warm). Both runs are recorded so the artifact shows the spread.
+    val results: Seq[(String, Seq[Double])] = Headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        val secs = (System.nanoTime() - t0) / 1e9
-        // queries are independent; drop their internal persists so one
-        // query's leftover cache can't evict-churn the next
-        spark.catalog.clearCache()
-        name -> secs
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+          val secs = (System.nanoTime() - t0) / 1e9
+          // queries are independent; drop their internal persists so one
+          // query's leftover cache can't evict-churn the next
+          spark.catalog.clearCache()
+          secs
+        }
+        name -> runs
       }
     }
+    val spinEnd = spinSeconds()
 
     // route latency: deterministic corpus + seeded pairs (0xcafebabe,
     // mirroring Benchmarking.java:15)
@@ -156,11 +186,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e6
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":${v.min}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qruns = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(s => f"$s%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","best_of":2,""" +
+      f""""queries":$qs,"query_runs":$qruns,""" +
+      f""""calibration":{"spin_iters":200000000,"quiet_spin_s":"~0.42-0.48",""" +
+      f""""spin_s":[$spinScaling%.3f,$spinStart%.3f,$spinEnd%.3f]},"sf":"$sfDir",""" +
       f""""scaling":{"cores_n":$coresN,"cores_4n":$cores4N,"vertices":$vertices,"edges":${distinctEdges},""" +
       f""""sessions_per_side":$sessionsPerSide,"supersteps_n":$itersN,"supersteps_4n":$iters4N,""" +
       f""""throughput_n":$thrN%.0f,"throughput_4n":$thr4N%.0f,""" +

@@ -29,6 +29,10 @@ import graft.query.{Interactive, Lookups, MissingBoth, MissingEnd, MissingStart,
  *            (beyond the reference: the north-rule iterative algorithms as
  *             a spark-submit entrypoint; with --state every superstep
  *             commits to Iceberg-lite and a re-run resumes mid-algorithm)
+ *   analyze  --algo ann-index --input <warehouse> [--vectors <parquet>]
+ *            [--query 0,1,2] [--nlist N] [--k K] [--nprobe P]
+ *            (build-once/probe-many ANN: --vectors trains + commits the IVF
+ *             index; --query probes the committed index without retraining)
  */
 object Cli {
 
@@ -162,6 +166,42 @@ object Cli {
                 s"links_raw at snapshot ${s.snapshotId}: ${s.rowCount} pages, " +
                   s"${s.files.size} data files, lastBatch=${s.properties.getOrElse("batchId", "?")}")
             case None => println("no input files found; nothing committed")
+          }
+
+        case Some("analyze") if arg(args, "algo").contains("ann-index") =>
+          // build-once/probe-many ANN index: with --vectors, train + commit
+          // the IVF index into the warehouse; with --query, probe the
+          // COMMITTED index (no retraining — a second invocation without
+          // --vectors probes the same snapshot)
+          val wh = arg(args, "input").getOrElse(usageError("--input required"))
+          val nlist = intArg(args, "nlist").getOrElse(16)
+          val kTop = intArg(args, "k").getOrElse(5)
+          val nprobe = intArg(args, "nprobe").getOrElse(4)
+          val idCol = arg(args, "id-col").getOrElse("vec_id")
+          val vecCol = arg(args, "vec-col").getOrElse("embedding")
+          val cat = new graft.tables.IcebergLite(wh)
+          arg(args, "vectors") match {
+            case Some(p) =>
+              val t0 = System.nanoTime()
+              graft.pipeline.Similarity.buildIvfIndex(
+                spark.read.parquet(p), idCol, vecCol, wh, nlist = nlist)
+              val s = cat.currentSnapshot("ann_ivf_cells").get
+              println(f"built ann_ivf: ${s.rowCount} vectors, ${s.files.size} " +
+                f"data files, nlist=$nlist%d, in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+            case None =>
+              val s = cat.currentSnapshot("ann_ivf_cells").getOrElse(usageError(
+                "no committed ann_ivf index under --input; pass --vectors to build one"))
+              println(s"reusing committed ann_ivf snapshot ${s.snapshotId} " +
+                s"(${s.rowCount} vectors, nlist=${s.properties.getOrElse("nlist", "?")})")
+          }
+          arg(args, "query").foreach { q =>
+            val ids = q.split(",").toSeq.map(_.trim.toLong)
+            val t0 = System.nanoTime()
+            val rows = graft.pipeline.Similarity.ivfTopKIndexed(
+              spark, wh, ids, k = kTop, nprobe = nprobe).collect()
+            println(f"probed ${ids.size} queries in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            rows.foreach(r => println(
+              f"  q=${r.getLong(0)} rank=${r.getInt(1)} neighbor=${r.getLong(2)} cos=${r.getDouble(3)}%.6f"))
           }
 
         case Some("analyze") =>

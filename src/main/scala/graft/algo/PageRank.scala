@@ -46,7 +46,37 @@ object PageRank {
       edges: Dataset[Edge],
       damping: Double = 0.85,
       tol: Double = 1e-9,
-      maxIter: Int = 100): Result = {
+      maxIter: Int = 100): Result =
+    runFrom(vertices, edges, None, damping, tol, maxIter)
+
+  /**
+   * Warm-start PageRank: iterate to `tol` from a PRIOR rank vector instead
+   * of the uniform start — the incremental-maintenance shape for a
+   * continuously ingesting graph. After an ingest append grows the graph,
+   * the last committed ranks seed the new run: ids no longer present are
+   * dropped, NEW ids are seeded 1/n, and the seed is renormalized to sum 1
+   * (a probability distribution again). The fixpoint is unchanged — the
+   * damped iteration is a contraction, so the start vector affects only the
+   * path length, not the limit — and with a small delta the old ranks sit
+   * near the new fixpoint, so reconvergence takes a fraction of the cold
+   * supersteps (measured in BASELINE.md).
+   */
+  def warmStart(
+      vertices: DataFrame,
+      edges: Dataset[Edge],
+      prevRanks: DataFrame,
+      damping: Double = 0.85,
+      tol: Double = 1e-9,
+      maxIter: Int = 100): Result =
+    runFrom(vertices, edges, Some(prevRanks), damping, tol, maxIter)
+
+  private def runFrom(
+      vertices: DataFrame,
+      edges: Dataset[Edge],
+      prevRanks: Option[DataFrame],
+      damping: Double,
+      tol: Double,
+      maxIter: Int): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -72,7 +102,18 @@ object PageRank {
       Seq("id"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
     val danglingCount = dangling.count()
 
-    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var ranks = (prevRanks match {
+      case None => verts.withColumn("rank", lit(1.0 / n))
+      case Some(prev) =>
+        // seed = prior ranks restricted to the current vertex set, new
+        // vertices at 1/n, renormalized to a probability distribution
+        val seeded = verts
+          .join(prev.select($"id", $"rank".as("prev")), Seq("id"), "left")
+          .select($"id", coalesce($"prev", lit(1.0 / n)).as("rank"))
+          .localCheckpoint(true)
+        val total = seeded.agg(sum($"rank")).as[Double].head()
+        seeded.select($"id", ($"rank" / total).as("rank"))
+    }).localCheckpoint(true)
     val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
     var iter = 0
     var delta = Double.MaxValue

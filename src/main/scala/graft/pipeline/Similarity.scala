@@ -219,9 +219,14 @@ object Similarity {
    * the standard sample-then-train shape of IVF builds. Empty cells keep
    * their previous centroid.
    */
+  /** Observability for the build-once/probe-many contract: bumped once per
+    * quantizer training, so a test can assert probes never retrain. */
+  private[graft] val trainInvocations = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, seed: Long = 42L, lloydIters: Int = 2,
       trainSample: Int = 100000): Seq[(Int, Array[Float])] = {
+    trainInvocations.incrementAndGet()
     val spark = vectors.sparkSession
     import spark.implicits._
     var cs = centroidSeq(vectors, idCol, vecCol, nlist, seed)
@@ -380,14 +385,107 @@ object Similarity {
   def embeddingNearDupIvf(
       vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, seed: Long = 42L,
-      lloydIters: Int = 2): DataFrame = {
-    val spark = vectors.sparkSession
+      lloydIters: Int = 2): DataFrame =
+    cellPairs(ivfIndex(vectors, idCol, vecCol, nlist, seed, lloydIters), threshold)
+
+  /** Within-cell exact near-dup verify over an (id, vec, cell) assignment —
+    * shared by the retrain-per-call and committed-index paths. */
+  private def cellPairs(indexed: DataFrame, threshold: Double): DataFrame = {
+    val spark = indexed.sparkSession
     import spark.implicits._
-    val indexed = ivfIndex(vectors, idCol, vecCol, nlist, seed, lloydIters)
     val l = indexed.select($"id".as("a"), $"vec".as("va"), $"cell")
     val r = indexed.select($"id".as("b"), $"vec".as("vb"), $"cell")
     l.join(r, Seq("cell")).filter($"a" < $"b")
       .filter(round(cosine($"va", $"vb"), 6) >= threshold)
       .select($"a", $"b")
   }
+
+  // ---------------------------------------------------------------------------
+  // Build-once / probe-many: the IVF index committed to Iceberg-lite
+  // ---------------------------------------------------------------------------
+
+  /**
+   * Build the committed IVF index: train the quantizer ONCE, then commit
+   *
+   *  - `<table>_cells` (id, vec, cell) — the corpus with its cell
+   *    assignment, range-clustered on `cell` so each data file covers a
+   *    narrow cell range, committed with manifest (min, max) file stats on
+   *    `cell` ([[graft.tables.IcebergLite]] records them from the parquet
+   *    footers, metadata-only);
+   *  - `<table>_centroids` (cell, cvec) — the quantizer, nlist rows.
+   *
+   * [[ivfTopK]]/[[embeddingNearDupIvf]] retrain the quantizer and re-assign
+   * the corpus on EVERY call — fine for a one-shot eval, wrong economics at
+   * production query volume over a 100 TB corpus. Through the committed
+   * index the O(corpus) work runs once per build; a probe's only reads are
+   * the centroid table and the probed cells' data files (manifest-stat
+   * pruning: ~nprobe/nlist of the index bytes, and Spark never lists the
+   * skipped files). Build parameters are recorded in the snapshot
+   * properties so probes and audits can see what the index is.
+   */
+  def buildIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      warehouse: String, table: String = "ann_ivf",
+      nlist: Int = 16, seed: Long = 42L, lloydIters: Int = 2): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val trained = trainCentroids(vectors, idCol, vecCol, nlist, seed, lloydIters)
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val props = Map("nlist" -> nlist.toString, "seed" -> seed.toString,
+      "lloydIters" -> lloydIters.toString)
+    val cells = assignCells(vectors, idCol, vecCol, trained)
+      .repartitionByRange(nlist, $"cell")
+    cat.commit(cells, s"${table}_cells", props, statsCol = Some("cell"))
+    cat.commit(spark.createDataset(trained).toDF("cell", "cvec"),
+      s"${table}_centroids", props)
+  }
+
+  /**
+   * IVF top-k through the committed index — row-identical to [[ivfTopK]] at
+   * the index's build parameters (the quantizer is bit-deterministic, the
+   * assignment is read back not recomputed, the ranking is the same
+   * bounded-heap aggregate), with zero training jobs. The probed-cell set
+   * (|queries| × nprobe ints — quantizer-sized, the same bounded-collect
+   * class as the training sums) drives manifest file pruning, so the
+   * candidate scan reads only the probed cells' files.
+   */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, warehouse: String,
+      queryIds: Seq[Long], k: Int = 10, nprobe: Int = 4,
+      table: String = "ann_ivf"): DataFrame = {
+    import spark.implicits._
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val cellsTable = s"${table}_cells"
+    val cs = broadcast(cat.read(spark, s"${table}_centroids"))
+    val qs = cat.read(spark, cellsTable).filter($"id".isin(queryIds: _*))
+      .select($"id".as("q"), $"vec".as("qv"))
+    // nprobe nearest cells per query: same heap aggregate, same tie-break
+    // as the retrain path
+    val cellTop = qs.join(cs)
+      .select($"q", cosine($"qv", $"cvec").as("cos"), $"cell".cast("long").as("neighbor"))
+      .groupBy($"q")
+      .agg(graft.functions.TopKByScore.topk_by($"cos", $"neighbor", nprobe).as("top"))
+      .select($"q", explode($"top.neighbor").as("cell"))
+      .select($"q", $"cell".cast("int").as("cell"))
+      .persist()
+    val probedCells = cellTop.select($"cell").distinct().as[Int].collect()
+      .map(_.toLong).toSet
+    val probed = broadcast(qs.join(cellTop, "q").select($"q", $"qv", $"cell"))
+    val corpus = cat.readPruned(spark, cellsTable, probedCells)
+    val out = rankTopK(corpus.join(probed, Seq("cell"))
+        .filter($"id" =!= $"q")
+        .select($"q", $"id".as("neighbor"),
+          round(cosine($"qv", $"vec"), 6).as("cos")), k)
+      .localCheckpoint(true)
+    cellTop.unpersist()
+    out
+  }
+
+  /** SemDeDup-shaped near-dup pairs through the committed index —
+    * row-identical to [[embeddingNearDupIvf]] at the build parameters,
+    * zero training jobs (the within-cell compare inherently reads every
+    * cell, so no file pruning applies here). */
+  def embeddingNearDupIvfIndexed(spark: org.apache.spark.sql.SparkSession,
+      warehouse: String, threshold: Double,
+      table: String = "ann_ivf"): DataFrame =
+    cellPairs(new graft.tables.IcebergLite(warehouse).read(spark, s"${table}_cells"),
+      threshold)
 }

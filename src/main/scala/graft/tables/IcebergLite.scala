@@ -12,14 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * one-line error instead of a stack trace. */
 final case class NoSuchTable(message: String) extends RuntimeException(message)
 
-/** One committed snapshot of a table. */
+/** One committed snapshot of a table.
+  *
+  * `fileStats` is the Iceberg-manifest-style per-file column range: when a
+  * commit declares a stats column, every data file's (min, max) for it is
+  * read from the parquet FOOTER at commit time (metadata-only, no scan) and
+  * recorded here, keyed like `partitionRows`. Readers prune files whose
+  * range misses their predicate before Spark ever lists them
+  * ([[IcebergLite.readPruned]]) — the committed-index probe path. */
 case class Snapshot(
     snapshotId: Long,
     parentId: Long,              // -1 = none
     files: Seq[String],          // data files, relative to the table root
     rowCount: Long,
     partitionRows: Map[Int, Long], // per-output-partition row counts (lineage)
-    properties: Map[String, String])
+    properties: Map[String, String],
+    fileStats: Map[Int, (Long, Long)] = Map.empty) // per-file (min, max) of statsCol
 
 /**
  * Iceberg-lite: partitioned-Parquet tables with an atomic JSON snapshot log
@@ -48,10 +56,11 @@ class IcebergLite(rootDir: String) {
     tableDir(table).resolve("data").resolve(s"s$sid")
 
   /** Write `df`'s data files for snapshot `sid`; returns (relative file
-    * paths, per-file row counts read from the parquet FOOTER — metadata-only,
-    * no scan jobs). */
-  private def writeData(df: DataFrame, table: String, sid: Long)
-      : (Seq[String], Map[Int, Long]) = {
+    * paths, per-file row counts, per-file (min, max) of `statsCol` if set) —
+    * all read from the parquet FOOTERS: metadata-only, no scan jobs. */
+  private def writeData(df: DataFrame, table: String, sid: Long,
+      statsCol: Option[String] = None)
+      : (Seq[String], Map[Int, Long], Map[Int, (Long, Long)]) = {
     val dd = dataDir(table, sid)
     Files.createDirectories(dd.getParent)
     df.write.mode("overwrite").parquet(dd.toString)
@@ -59,23 +68,45 @@ class IcebergLite(rootDir: String) {
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => tableDir(table).relativize(p).toString).toSeq.sorted
     val conf = df.sparkSession.sessionState.newHadoopConf()
-    val partRows: Map[Int, Long] = files.zipWithIndex.map { case (f, i) =>
+    val perFile = files.zipWithIndex.map { case (f, i) =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(tableDir(table).resolve(f).toString), conf))
-      try i -> reader.getRecordCount finally reader.close()
-    }.toMap
-    (files, partRows)
+      try {
+        val rows = i -> reader.getRecordCount
+        // Iceberg-manifest-style column range: union of the row-group
+        // statistics for the declared column; a file with no usable stats
+        // simply goes unrecorded (readers then treat it as must-read)
+        val range = statsCol.flatMap { c =>
+          val rgs = reader.getRowGroups.asScala.toSeq.flatMap { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == c)
+              .map(_.getStatistics)
+              .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+              .map(s => (s.genericGetMin.asInstanceOf[Number].longValue,
+                s.genericGetMax.asInstanceOf[Number].longValue))
+          }
+          if (rgs.isEmpty) None
+          else Some(i -> ((rgs.map(_._1).min, rgs.map(_._2).max)))
+        }
+        (rows, range)
+      } finally reader.close()
+    }
+    (files, perFile.map(_._1).toMap, perFile.flatMap(_._2).toMap)
   }
 
   /** Commit `df` as the next snapshot of `table` (full replacement — the
-    * superstep-state shape). Returns the snapshot. */
+    * superstep-state shape). Returns the snapshot. Passing `statsCol`
+    * records each data file's (min, max) for that integral column in the
+    * snapshot manifest, enabling [[readPruned]] file skipping. */
   def commit(df: DataFrame, table: String,
-      properties: Map[String, String] = Map.empty): Snapshot = {
+      properties: Map[String, String] = Map.empty,
+      statsCol: Option[String] = None): Snapshot = {
     val parent = currentSnapshot(table).map(_.snapshotId).getOrElse(-1L)
     val sid = parent + 1
-    val (files, partRows) = writeData(df, table, sid)
-    val snap = Snapshot(sid, parent, files, partRows.values.sum, partRows, properties)
+    val (files, partRows, stats) = writeData(df, table, sid, statsCol)
+    val snap = Snapshot(sid, parent, files, partRows.values.sum, partRows,
+      properties ++ statsCol.map("statsCol" -> _), stats)
     writeSnapshot(table, snap)
     snap
   }
@@ -92,7 +123,7 @@ class IcebergLite(rootDir: String) {
     val parentSnap = currentSnapshot(table)
     val parent = parentSnap.map(_.snapshotId).getOrElse(-1L)
     val sid = parent + 1
-    val (newFiles, newPartRows) = writeData(df, table, sid)
+    val (newFiles, newPartRows, _) = writeData(df, table, sid)
     val baseFiles = parentSnap.map(_.files).getOrElse(Nil)
     val offset = baseFiles.size
     val partRows = parentSnap.map(_.partitionRows).getOrElse(Map.empty) ++
@@ -145,6 +176,34 @@ class IcebergLite(rootDir: String) {
       "compactedFromFiles" -> cur.files.size.toString))
   }
 
+  /** The data files of `snap` whose recorded stats range intersects
+    * `values`; files with no recorded range are conservatively kept.
+    * Exposed for plan-audit tests. */
+  def pruneFiles(snap: Snapshot, values: Set[Long]): Seq[String] =
+    snap.files.zipWithIndex.collect {
+      case (f, i) if snap.fileStats.get(i)
+        .forall { case (lo, hi) => values.exists(v => v >= lo && v <= hi) } => f
+    }
+
+  /** Read only the data files whose manifest (min, max) range for the
+    * commit's `statsCol` can contain one of `values` — Iceberg's
+    * manifest-stats file pruning: a probe of p of N index cells reads ~p/N
+    * of the table's bytes, and Spark never even lists the skipped files.
+    * Pruning is per-FILE; callers still apply their row predicate. */
+  def readPruned(spark: SparkSession, table: String, values: Set[Long],
+      snapshotId: Long = -1L): DataFrame = {
+    val snap =
+      if (snapshotId >= 0) readSnapshot(table, snapshotId)
+        .getOrElse(throw NoSuchTable(s"no snapshot $snapshotId for $table"))
+      else currentSnapshot(table)
+        .getOrElse(throw NoSuchTable(s"table $table has no snapshots"))
+    require(snap.properties.contains("statsCol"),
+      s"$table was not committed with a stats column")
+    val sel = pruneFiles(snap, values)
+    require(sel.nonEmpty, s"no data file of $table can contain $values")
+    spark.read.parquet(sel.map(f => tableDir(table).resolve(f).toString): _*)
+  }
+
   /** Read a table at its current (or an explicit) snapshot. */
   def read(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
     val snap =
@@ -194,6 +253,9 @@ class IcebergLite(rootDir: String) {
     json ++= s""""files": [${s.files.map(f => "\"" + esc(f) + "\"").mkString(", ")}], """
     json ++= s""""partitionRows": {${s.partitionRows.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\": " + v }.mkString(", ")}}, """
+    json ++= s""""fileStats": {${s.fileStats.toSeq.sortBy(_._1)
+      .map { case (k, (lo, hi)) => "\"" + k + "\": \"" + lo + "," + hi + "\"" }
+      .mkString(", ")}}, """
     json ++= s""""properties": {${s.properties.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + esc(k) + "\": \"" + esc(v) + "\"" }.mkString(", ")}}"""
     json ++= "}"
@@ -218,7 +280,11 @@ class IcebergLite(rootDir: String) {
       rowCount = longField(json, "rowCount"),
       partitionRows = objField(json, "partitionRows")
         .map { case (k, v) => k.toInt -> v.toLong },
-      properties = objField(json, "properties")))
+      properties = objField(json, "properties"),
+      fileStats = objField(json, "fileStats").map { case (k, v) =>
+        val Array(lo, hi) = v.split(",", 2)
+        k.toInt -> ((lo.toLong, hi.toLong))
+      }))
   }
 
   // minimal parsers for our own flat emitter (keys never contain escapes)
@@ -233,15 +299,16 @@ class IcebergLite(rootDir: String) {
       .map(m => unesc(m.group(1))).toSeq
   }
 
-  private def objField(json: String, key: String): Map[String, String] = {
-    val body = ("\"" + key + "\": \\{(.*?)\\}").r
-      .findFirstMatchIn(json).get.group(1)
-    "\"((?:[^\"\\\\]|\\\\.)*)\": (?:\"((?:[^\"\\\\]|\\\\.)*)\"|(-?\\d+))".r
-      .findAllMatchIn(body)
-      .map(m => unesc(m.group(1)) ->
-        (if (m.group(2) != null) unesc(m.group(2)) else m.group(3)))
-      .toMap
-  }
+  private def objField(json: String, key: String): Map[String, String] =
+    ("\"" + key + "\": \\{(.*?)\\}").r.findFirstMatchIn(json) match {
+      case None => Map.empty // field absent (snapshot written pre-upgrade)
+      case Some(mm) =>
+        "\"((?:[^\"\\\\]|\\\\.)*)\": (?:\"((?:[^\"\\\\]|\\\\.)*)\"|(-?\\d+))".r
+          .findAllMatchIn(mm.group(1))
+          .map(m => unesc(m.group(1)) ->
+            (if (m.group(2) != null) unesc(m.group(2)) else m.group(3)))
+          .toMap
+    }
 
   private def unesc(s: String): String = {
     val sb = new StringBuilder

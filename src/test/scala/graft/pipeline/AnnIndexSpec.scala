@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.tables.IcebergLite
+import org.apache.spark.sql.functions._
+
+/** Build-once / probe-many ANN index: the committed IVF surface must be
+  * row-identical to the retrain-per-call operators, never retrain on probe,
+  * and let probes skip data files via the manifest (min, max) stats. */
+class AnnIndexSpec extends SparkTestBase {
+
+  private lazy val embs =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-ann").toString
+
+  test("committed probes == retrain path, with exactly one training run") {
+    import spark.implicits._
+    val wh = tmp()
+    val before = Similarity.trainInvocations.get()
+    Similarity.buildIvfIndex(embs, "vec_id", "embedding", wh,
+      nlist = 16, seed = 42L, lloydIters = 2)
+    assert(Similarity.trainInvocations.get() == before + 1,
+      "build must train exactly once")
+
+    val queries = Seq(0L, 1L, 2L)
+    val retrain = Similarity.ivfTopK(embs, "vec_id", "embedding", queries,
+        k = 5, nlist = 16, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val trainedAfterRetrain = Similarity.trainInvocations.get()
+    assert(trainedAfterRetrain > before + 1, "sanity: ivfTopK retrains")
+
+    // two probe calls through the committed index: zero further training
+    val p1 = Similarity.ivfTopKIndexed(spark, wh, queries, k = 5, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val p2 = Similarity.ivfTopKIndexed(spark, wh, queries, k = 5, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    assert(Similarity.trainInvocations.get() == trainedAfterRetrain,
+      "probing the committed index must not retrain")
+    assert(p1 == retrain, "committed probe must equal the retrain path")
+    assert(p2 == retrain, "probes must be stable across calls")
+
+    // near-dup through the same committed index
+    val ndRetrain = Similarity.embeddingNearDupIvf(embs, "vec_id", "embedding",
+        threshold = 0.45, nlist = 16)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val ndIndexed = Similarity.embeddingNearDupIvfIndexed(spark, wh,
+        threshold = 0.45)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(ndIndexed == ndRetrain)
+  }
+
+  test("manifest file stats prune a probe's scan to the probed cells") {
+    import spark.implicits._
+    val wh = tmp()
+    Similarity.buildIvfIndex(embs, "vec_id", "embedding", wh, nlist = 16)
+    val cat = new IcebergLite(wh)
+    val snap = cat.currentSnapshot("ann_ivf_cells").get
+    // stats survived the snapshot-json round trip, one range per data file
+    assert(snap.properties("statsCol") == "cell")
+    assert(snap.fileStats.size == snap.files.size && snap.files.size > 4)
+    assert(snap.fileStats.values.forall { case (lo, hi) => lo <= hi })
+    // range-clustered layout: probing one occupied cell touches a strict
+    // subset of the files (and every surviving file's range admits it)
+    val someCell = cat.read(spark, "ann_ivf_cells")
+      .agg(min($"cell")).as[Int].head().toLong
+    val pruned = cat.pruneFiles(snap, Set(someCell))
+    assert(pruned.nonEmpty && pruned.size < snap.files.size,
+      s"no pruning: ${pruned.size} of ${snap.files.size}")
+    // the pruned read yields exactly the rows the full read has for the cell
+    val full = cat.read(spark, "ann_ivf_cells")
+      .filter($"cell" === someCell).select($"id").as[Long].collect().sorted.toSeq
+    val fast = cat.readPruned(spark, "ann_ivf_cells", Set(someCell))
+      .filter($"cell" === someCell).select($"id").as[Long].collect().sorted.toSeq
+    assert(fast == full && full.nonEmpty)
+    // and the probe path's actual scan reads only the pruned files
+    assert(cat.readPruned(spark, "ann_ivf_cells", Set(someCell))
+      .inputFiles.length == pruned.size)
+  }
+
+  test("centroid table holds the bit-deterministic quantizer (rebuild-stable)") {
+    import spark.implicits._
+    val wh1 = tmp(); val wh2 = tmp()
+    Similarity.buildIvfIndex(embs, "vec_id", "embedding", wh1, nlist = 8)
+    Similarity.buildIvfIndex(embs.repartition(13), "vec_id", "embedding", wh2,
+      nlist = 8)
+    val cat1 = new IcebergLite(wh1); val cat2 = new IcebergLite(wh2)
+    def centroids(cat: IcebergLite) =
+      cat.read(spark, "ann_ivf_centroids")
+        .as[(Int, Array[Float])].collect().sortBy(_._1)
+        .map { case (c, v) => (c, v.toSeq) }.toSeq
+    assert(centroids(cat1) == centroids(cat2),
+      "quantizer must be identical at any input partitioning")
+    assert(cat1.currentSnapshot("ann_ivf_centroids").get.rowCount == 8)
+  }
+}

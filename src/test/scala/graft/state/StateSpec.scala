@@ -212,6 +212,43 @@ class StateSpec extends SparkTestBase {
     assert(log2.readDelta(1).as[(Long, Long, Int)].collect().forall(_._3 == 1))
   }
 
+  test("warm-start PageRank over an ingest-grown graph reconverges faster, same fixpoint") {
+    import spark.implicits._
+    val rng = new java.util.Random(123)
+    def randEdges(n: Int, verts: Int) =
+      (0 until n).map(_ => (rng.nextInt(verts).toLong, rng.nextInt(verts).toLong))
+        .filter { case (a, b) => a != b }.distinct
+    val base = randEdges(3000, 500)
+    val baseEds = spark.createDataset(base.map(e => Edge(e._1, e._2)))
+    val baseVerts = spark.range(500).toDF("id")
+
+    // converge on the base graph, commit the ranks (the last superstep a
+    // long-running job would have committed before the ingest append)
+    val tol = 1e-9
+    val cold0 = PageRank.run(baseVerts, baseEds, tol = tol)
+    val log = new Supersteps(tmp(), "pagerank", spark)
+    log.commit(cold0.iterations, cold0.ranks,
+      SuperstepMetric("pagerank", cold0.iterations, 500, base.size, 0, -1))
+
+    // the graph grows: 40 new vertices, ~300 new edges (an ingest append)
+    val grown = (base ++ randEdges(300, 540)).distinct
+    val grownEds = spark.createDataset(grown.map(e => Edge(e._1, e._2)))
+    val grownVerts = spark.range(540).toDF("id")
+
+    val cold = PageRank.run(grownVerts, grownEds, tol = tol)
+    val warm = PageRank.warmStart(grownVerts, grownEds, log.readState(), tol = tol)
+    assert(warm.iterations < cold.iterations,
+      s"warm ${warm.iterations} !< cold ${cold.iterations} supersteps")
+    // same fixpoint: both ran to per-vertex delta ≤ 1e-9
+    val c = cold.ranks.as[(Long, Double)].collect().sortBy(_._1)
+    val w = warm.ranks.as[(Long, Double)].collect().sortBy(_._1)
+    assert(c.length == w.length && c.length == 540)
+    val maxDiff = c.zip(w).map { case ((_, a), (_, b)) => math.abs(a - b) }.max
+    assert(maxDiff <= 1e-6, s"fixpoints diverged: $maxDiff")
+    // ranks are a probability distribution again after reseeding
+    assert(math.abs(w.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("Supersteps: readState time-travels to a specific superstep") {
     import spark.implicits._
     val log = new Supersteps(tmp(), "demo", spark)
