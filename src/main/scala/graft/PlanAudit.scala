@@ -60,6 +60,31 @@ object PlanAudit {
         spark.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", Seq(0L, 1L, 2L), k = 5))
 
+    // shared-passage pairs: expect the fp postings equi-join + partial
+    // count aggregate — no cartesian, no window (shown pre-checkpoint via
+    // the same building blocks winnowPairs composes)
+    val fps = graft.pipeline.TextAnalysis.winnowFingerprints(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        k = 16, w = 8)
+      .select($"id", $"fp".as("shingle"))
+    show("winnow-pairs-postings")(
+      graft.pipeline.Dedup.jaccardCandidates(fps).filter($"common" >= 2))
+
+    // committed-index probe: the FileScan must list ONLY the probed cells'
+    // data files (manifest min/max stats), not the whole index
+    val wh = java.nio.file.Files.createTempDirectory("plan-ann").toString
+    graft.pipeline.Similarity.buildIvfIndex(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      wh, nlist = 8)
+    val cat = new graft.tables.IcebergLite(wh)
+    val snap = cat.currentSnapshot("ann_ivf_cells").get
+    val probed = Set(1L, 2L)
+    println(s"\nann_ivf_cells: ${snap.files.size} data files; manifest stats " +
+      s"prune cells $probed to ${cat.pruneFiles(snap, probed).size} files")
+    show("ivf-indexed-pruned-scan")(
+      cat.readPruned(spark, "ann_ivf_cells", probed)
+        .filter($"cell".isin(probed.toSeq.map(_.toInt): _*)))
+
     spark.stop()
   }
 }
