@@ -194,6 +194,15 @@ object Cli {
               println(s"reusing committed ann_ivf snapshot ${s.snapshotId} " +
                 s"(${s.rowCount} vectors, nlist=${s.properties.getOrElse("nlist", "?")})")
           }
+          // incremental maintenance: assign a new batch with the committed
+          // (frozen) quantizer and fast-append it — no retraining
+          arg(args, "append-vectors").foreach { p =>
+            graft.pipeline.Similarity.appendToIvfIndex(
+              spark.read.parquet(p), idCol, vecCol, wh)
+            val s = cat.currentSnapshot("ann_ivf_cells").get
+            println(s"appended ${s.properties("appendedRows")} vectors " +
+              s"(snapshot ${s.snapshotId}, ${s.rowCount} total)")
+          }
           arg(args, "query").foreach { q =>
             val ids = q.split(",").toSeq.map(_.trim.toLong)
             val t0 = System.nanoTime()

@@ -440,6 +440,30 @@ object Similarity {
   }
 
   /**
+   * Append newly ingested vectors to a COMMITTED IVF index without
+   * retraining — the index-maintenance half of the continuous-ingest story
+   * (warm-start PageRank being the graph half): assignment uses the
+   * committed centroids (the same narrow zero-shuffle projection as the
+   * build), and the rows land as an Iceberg fast append on the cells table
+   * with their own per-file cell stats, so pruned probes stay exact over
+   * the union. The quantizer stays FROZEN — standard IVF maintenance;
+   * retraining on drift is a new [[buildIvfIndex]]. O(batch) work per call,
+   * never O(index).
+   */
+  def appendToIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      warehouse: String, table: String = "ann_ivf"): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val cs = cat.read(spark, s"${table}_centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
+    val cells = assignCells(vectors, idCol, vecCol, cs)
+      .repartitionByRange(math.max(1, math.min(cs.size, 8)), $"cell")
+    cat.append(cells, s"${table}_cells", Map.empty, statsCol = Some("cell"))
+    ()
+  }
+
+  /**
    * IVF top-k through the committed index — row-identical to [[ivfTopK]] at
    * the index's build parameters (the quantizer is bit-deterministic, the
    * assignment is read back not recomputed, the ranking is the same

@@ -119,18 +119,26 @@ class IcebergLite(rootDir: String) {
     * files' parquet footers — metadata-only) so callers get the delta's row
     * count without a count job. */
   def append(df: DataFrame, table: String,
-      properties: Map[String, String] = Map.empty): Snapshot = {
+      properties: Map[String, String] = Map.empty,
+      statsCol: Option[String] = None): Snapshot = {
     val parentSnap = currentSnapshot(table)
     val parent = parentSnap.map(_.snapshotId).getOrElse(-1L)
     val sid = parent + 1
-    val (newFiles, newPartRows, _) = writeData(df, table, sid)
+    val (newFiles, newPartRows, newStats) = writeData(df, table, sid, statsCol)
     val baseFiles = parentSnap.map(_.files).getOrElse(Nil)
     val offset = baseFiles.size
     val partRows = parentSnap.map(_.partitionRows).getOrElse(Map.empty) ++
       newPartRows.map { case (k, v) => (k + offset) -> v }
+    // manifest stats chain like the file list: the parent's per-file ranges
+    // are retained at their indices, the new files' ranges appended at the
+    // shifted ones — pruned reads stay exact across any append history
+    val fileStats = parentSnap.map(_.fileStats).getOrElse(Map.empty) ++
+      newStats.map { case (k, v) => (k + offset) -> v }
     val snap = Snapshot(sid, parent, baseFiles ++ newFiles,
       partRows.values.sum, partRows,
-      properties + ("appendedRows" -> newPartRows.values.sum.toString))
+      properties ++ statsCol.map("statsCol" -> _) +
+        ("appendedRows" -> newPartRows.values.sum.toString),
+      fileStats)
     writeSnapshot(table, snap)
     snap
   }

@@ -81,6 +81,50 @@ class AnnIndexSpec extends SparkTestBase {
       .inputFiles.length == pruned.size)
   }
 
+  test("incremental append: frozen quantizer, exact pruned probes over the union") {
+    import spark.implicits._
+    val wh = tmp()
+    val emb2 = embs.select($"vec_id", $"embedding")
+    val first = emb2.filter($"vec_id" < 400)
+    val rest = emb2.filter($"vec_id" >= 400)
+    Similarity.buildIvfIndex(first, "vec_id", "embedding", wh, nlist = 16)
+    val trainedAfterBuild = Similarity.trainInvocations.get()
+    val cat = new IcebergLite(wh)
+
+    // append the remaining vectors plus an exact duplicate of vector 0
+    val dup = emb2.filter($"vec_id" === 0L)
+      .select(lit(9999L).as("vec_id"), $"embedding")
+    Similarity.appendToIvfIndex(rest.union(dup), "vec_id", "embedding", wh)
+    assert(Similarity.trainInvocations.get() == trainedAfterBuild,
+      "append must not retrain the quantizer")
+
+    // the union's assignment equals a fresh assignment under the SAME
+    // committed centroids — the appended batch was assigned frozen
+    val cs = cat.read(spark, "ann_ivf_centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
+    val stored = cat.read(spark, "ann_ivf_cells")
+      .select($"id", $"cell").as[(Long, Int)].collect().toSet
+    val expected = Similarity.assignCells(emb2.union(dup).toDF(),
+        "vec_id", "embedding", cs)
+      .select($"id", $"cell").as[(Long, Int)].collect().toSet
+    assert(stored == expected && stored.size == 501)
+
+    // appended files carry their own manifest stats: every file has a
+    // range and pruning still skips files
+    val snap = cat.currentSnapshot("ann_ivf_cells").get
+    assert(snap.properties("appendedRows").toLong == 101)
+    assert(snap.fileStats.size == snap.files.size)
+    val cell0 = stored.find(_._1 == 9999L).get._2.toLong
+    assert(cat.pruneFiles(snap, Set(cell0)).size < snap.files.size)
+
+    // probing with the duplicate's original: rank-1 neighbor must be the
+    // appended duplicate at cosine 1 (it shares the query's cell by
+    // construction — identical vectors assign identically)
+    val top = Similarity.ivfTopKIndexed(spark, wh, Seq(0L), k = 3, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().minBy(_._2)
+    assert(top._3 == 9999L && top._4 == 1.0, s"got $top")
+  }
+
   test("centroid table holds the bit-deterministic quantizer (rebuild-stable)") {
     import spark.implicits._
     val wh1 = tmp(); val wh2 = tmp()

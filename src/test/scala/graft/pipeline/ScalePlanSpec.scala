@@ -186,6 +186,28 @@ class ScalePlanSpec extends SparkTestBase {
   // -------------------------------------------------------------------------
   // Stop-shingle cut: bounded candidates under a corpus-ubiquitous shingle
   // -------------------------------------------------------------------------
+  test("winnowPairs postings join: no cartesian, no Window, partial count agg") {
+    import spark.implicits._
+    // the pre-checkpoint pipeline winnowPairs composes (the operator itself
+    // materializes eagerly, which hides its plan)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 16, w = 8)
+      .select($"id", $"fp".as("shingle"))
+    val pairs = Dedup.jaccardCandidates(fps).filter($"common" >= 2)
+    val plan = planOf(pairs)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"shared-passage candidates must come from the postings equi-join:\n$plan")
+    assert(!plan.contains("Window"), s"no window over pair sets:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"pair counting must combine map-side:\n$plan")
+    // and the operator output equals the composed pipeline it audits
+    val got = Dedup.winnowPairs(docs, "doc_id", "text", k = 16, w = 8,
+        minShared = 2).as[(Long, Long, Long)].collect().sorted.toSeq
+    val composed = pairs.select($"a", $"b", $"common")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == composed && got.nonEmpty)
+  }
+
   test("jaccardCandidates: ubiquitous shingle bounded by maxPostings cut") {
     import spark.implicits._
     // every doc shares the trigram "alpha beta gamma"; all other shingles
