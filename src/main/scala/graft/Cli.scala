@@ -226,9 +226,28 @@ object Cli {
               f"superstep ${m.superstep}%3d  rows=${m.rowsOut}%-9d wall=${m.wallMs} ms"))
           algo match {
             case "pagerank" =>
-              val res = log() match {
-                case Some(l) => graft.algo.PageRank.runResumable(verts, graph.edges, l, maxIter = iters)
-                case None => graft.algo.PageRank.run(verts, graph.edges, tol = 0.0, maxIter = iters)
+              // --warm: seed from the state dir's last committed ranks and
+              // iterate to tolerance (the post-ingest reconvergence loop:
+              // ingest → analyze --warm → repeat); the reconverged ranks are
+              // committed back so the next cycle chains
+              val warm = args.contains("--warm")
+              val res = (log(), warm) match {
+                case (Some(l), true) if l.lastCompleted.nonEmpty =>
+                  val prev = l.lastCompleted.get
+                  val r = graft.algo.PageRank.warmStart(verts, graph.edges,
+                    l.readState(), maxIter = iters)
+                  println(s"warm-started from superstep $prev: reconverged " +
+                    s"in ${r.iterations} supersteps")
+                  l.commit(prev + r.iterations, r.ranks,
+                    r.metrics.lastOption.getOrElse(
+                      graft.algo.SuperstepMetric("pagerank", prev, 0L, 0L, 0L, -1.0)))
+                  r
+                case (Some(l), _) =>
+                  graft.algo.PageRank.runResumable(verts, graph.edges, l, maxIter = iters)
+                case (None, true) =>
+                  usageError("--warm needs --state with previously committed ranks")
+                case (None, _) =>
+                  graft.algo.PageRank.run(verts, graph.edges, tol = 0.0, maxIter = iters)
               }
               printSteps(res.metrics)
               println("top pages by rank:")

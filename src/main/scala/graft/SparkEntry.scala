@@ -395,6 +395,10 @@ object SparkEntry {
       Dedup.winnowPairs(tbl(s, dir, "documents"), "doc_id", "text",
         k = PassagesK, w = PassagesW, minShared = PassagesMinShared.toLong)),
 
+    "d_passage_spans" -> ((s, dir) =>
+      Dedup.winnowPairSpans(tbl(s, dir, "documents"), "doc_id", "text",
+        k = PassagesK, w = PassagesW, minShared = PassagesMinShared.toLong)),
+
     "s_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
@@ -672,6 +676,23 @@ object SparkEntry {
          |FROM fps f1 JOIN fps f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
          |GROUP BY 1, 2
          |HAVING COUNT(*) >= $PassagesMinShared""".stripMargin,
+
+    // span detail for the qualifying pairs: every shared fingerprint with
+    // its selected positions in both documents
+    "d_passage_spans" ->
+      s"""WITH ${winnowSelCte(PassagesK, PassagesW)},
+         |spos AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, m AS fp FROM sel),
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM spos),
+         |pairs AS MATERIALIZED (
+         |  SELECT f1.doc_id AS a, f2.doc_id AS b
+         |  FROM fps f1 JOIN fps f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING COUNT(*) >= $PassagesMinShared)
+         |SELECT p.a, p.b, sa.fp, sa.pos AS pos_a, sb.pos AS pos_b
+         |FROM pairs p
+         |JOIN spos sa ON sa.doc_id = p.a
+         |JOIN spos sb ON sb.doc_id = p.b AND sb.fp = sa.fp""".stripMargin,
 
     "s_ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0,1,2,3,4)),

@@ -60,6 +60,13 @@ object PageRank {
    * path length, not the limit — and with a small delta the old ranks sit
    * near the new fixpoint, so reconvergence takes a fraction of the cold
    * supersteps (measured in BASELINE.md).
+   *
+   * ID-SPACE CAVEAT: seeding joins on `id`, so prevRanks must come from the
+   * SAME id space as `vertices`. The engine's dense ids are the sorted-url
+   * rank ([[graft.graph.Dictionary]]) — stable across runs on one committed
+   * graph, but a RE-CONVERT over a grown url set renumbers them; seed with
+   * [[remapRanks]] (old id → url → new id) in that case, or the old ranks
+   * would silently attach to the wrong vertices.
    */
   def warmStart(
       vertices: DataFrame,
@@ -69,6 +76,21 @@ object PageRank {
       tol: Double = 1e-9,
       maxIter: Int = 100): Result =
     runFrom(vertices, edges, Some(prevRanks), damping, tol, maxIter)
+
+  /** Carry a rank vector across a RE-CONVERTED warehouse: dense ids are the
+    * sorted-url rank, so any change to the url set renumbers them — map old
+    * id → url → new id before seeding [[warmStart]]. Old urls no longer
+    * present drop out; new urls are simply absent (warmStart seeds them
+    * 1/n). Both page frames need (id, url) columns. */
+  def remapRanks(prevRanks: DataFrame, oldPages: DataFrame,
+      newPages: DataFrame): DataFrame = {
+    val spark = prevRanks.sparkSession
+    import spark.implicits._
+    prevRanks.join(oldPages.select($"id", $"url"), "id")
+      .select($"url", $"rank")
+      .join(newPages.select($"id", $"url"), "url")
+      .select($"id", $"rank")
+  }
 
   private def runFrom(
       vertices: DataFrame,

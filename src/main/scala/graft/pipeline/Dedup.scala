@@ -217,6 +217,35 @@ object Dedup {
     out
   }
 
+  /**
+   * Matched-passage span report — the detail view behind [[winnowPairs]] a
+   * contamination audit reads next: for every qualifying pair, each shared
+   * fingerprint with its selected 1-based gram positions in BOTH documents
+   * (where the shared passage sits in a, and where in b). One winnow pass
+   * feeds both the pair decision and the span join (the selection table is
+   * persisted, not recomputed). Output: (a, b, fp, pos_a, pos_b); a
+   * fingerprint selected at several positions in a document reports every
+   * position (the audit wants all occurrences).
+   */
+  def winnowPairSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 6, minShared: Long = 2L,
+      maxPostings: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sel = TextAnalysis.winnow(docs, idCol, textCol, k, w).persist()
+    val fps = sel.select($"id", $"fp").distinct()
+    val pairs = jaccardCandidates(fps.select($"id", $"fp".as("shingle")), maxPostings)
+      .filter($"common" >= minShared)
+      .select($"a", $"b")
+    val out = pairs
+      .join(sel.select($"id".as("a"), $"pos".as("pos_a"), $"fp"), "a")
+      .join(sel.select($"id".as("b"), $"pos".as("pos_b"), $"fp"), Seq("b", "fp"))
+      .select($"a", $"b", $"fp", $"pos_a", $"pos_b")
+      .localCheckpoint(true)
+    sel.unpersist()
+    out
+  }
+
   // ---------------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------------

@@ -249,6 +249,35 @@ class StateSpec extends SparkTestBase {
     assert(math.abs(w.map(_._2).sum - 1.0) < 1e-9)
   }
 
+  test("remapRanks carries ranks across a re-converted (renumbered) id space") {
+    import spark.implicits._
+    import graft.algo.PageRank
+    val n = 300
+    val rng = new java.util.Random(7)
+    val oldEdges = (0 until 1500).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val oldPages = (0 until n).map(i => (i.toLong, f"u$i%04d")).toDF("id", "url")
+    val eds = spark.createDataset(oldEdges.map(e => Edge(e._1, e._2)))
+    val oldRanks = PageRank.run(spark.range(n).toDF("id"), eds, tol = 1e-9).ranks
+    // a re-convert over a grown url set renumbers EVERY dense id (sorted-url
+    // rank); simulate the renumbering deterministically
+    val idMap = (0 until n).map(i => i.toLong -> (i + i / 10 + 1).toLong).toMap
+    val newPages = (0 until n).map(i => (idMap(i.toLong), f"u$i%04d")).toDF("id", "url")
+    val newEdges = spark.createDataset(oldEdges.map { case (a, b) => Edge(idMap(a), idMap(b)) })
+    val newVerts = newPages.select($"id")
+    // raw-id seeding would attach old ranks to the wrong vertices; the
+    // url-joined remap attaches them exactly, so the seed IS the fixpoint
+    // of the (structurally identical) renumbered graph: 1 superstep out
+    val warm = PageRank.warmStart(newVerts, newEdges.as[Edge],
+      PageRank.remapRanks(oldRanks, oldPages, newPages), tol = 1e-9)
+    assert(warm.iterations <= 2, s"remapped seed should be at the fixpoint, took ${warm.iterations}")
+    val cold = PageRank.run(newVerts, newEdges.as[Edge], tol = 1e-9)
+    val c = cold.ranks.as[(Long, Double)].collect().sortBy(_._1)
+    val w = warm.ranks.as[(Long, Double)].collect().sortBy(_._1)
+    assert(c.length == n && w.length == n)
+    assert(c.zip(w).forall { case ((_, a), (_, b)) => math.abs(a - b) <= 1e-6 })
+  }
+
   test("Supersteps: readState time-travels to a specific superstep") {
     import spark.implicits._
     val log = new Supersteps(tmp(), "demo", spark)
