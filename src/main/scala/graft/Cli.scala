@@ -153,11 +153,13 @@ object Cli {
           val input = arg(args, "input").getOrElse(usageError("--input required"))
           val output = arg(args, "output").getOrElse(usageError("--output required"))
           val compactOver = intArg(args, "compact-over").getOrElse(64)
+          val expireKeep = intArg(args, "expire-keep").getOrElse(0)
           // compaction is AUTO: the sink folds small files mid-stream once
           // the manifest exceeds the threshold (batchId guard survives —
-          // compact inherits snapshot properties)
+          // compact inherits snapshot properties); --expire-keep N also
+          // expires history past N snapshots after each compaction
           graft.streaming.IngestStream.run(spark, input, output,
-              compactOver = compactOver)
+              compactOver = compactOver, expireKeep = expireKeep)
             .foreach(_.awaitTermination())
           val cat = new graft.tables.IcebergLite(output)
           cat.currentSnapshot("links_raw") match {

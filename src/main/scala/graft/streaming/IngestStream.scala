@@ -49,11 +49,17 @@ object IngestStream {
     * more than `compactOver` data files, the sink folds them down to
     * `max(1, compactOver/4)` in the same batch callback. Compaction INHERITS
     * snapshot properties, so the `batchId` idempotence guard survives it —
-    * a batch replayed after a mid-stream compaction is still skipped. */
+    * a batch replayed after a mid-stream compaction is still skipped.
+    *
+    * `expireKeep > 0` additionally expires all but that many snapshots
+    * after each compaction (storage for an ever-ingesting table is
+    * otherwise unbounded — compaction rewrites but retains old files);
+    * keep it large enough to cover any reader still time-traveling. */
   def run(spark: SparkSession, inputDir: String, warehouse: String,
       table: String = "links_raw",
       trigger: Trigger = Trigger.AvailableNow(),
-      compactOver: Int = 0): Option[StreamingQuery] = {
+      compactOver: Int = 0,
+      expireKeep: Int = 0): Option[StreamingQuery] = {
     val schema =
       try spark.read.parquet(inputDir).schema
       catch {
@@ -77,8 +83,10 @@ object IngestStream {
           .exists(_.properties.get("batchId").exists(_.toLong >= batchId))
         if (!alreadyCommitted) {
           val snap = cat.append(batch, table, Map("batchId" -> batchId.toString))
-          if (compactOver > 0 && snap.files.size > compactOver)
+          if (compactOver > 0 && snap.files.size > compactOver) {
             cat.compact(spark, table, targetFiles = math.max(1, compactOver / 4))
+            if (expireKeep > 0) cat.expireSnapshots(table, keepLast = expireKeep)
+          }
         }
         ()
       }

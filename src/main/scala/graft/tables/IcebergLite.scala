@@ -212,6 +212,33 @@ class IcebergLite(rootDir: String) {
     spark.read.parquet(sel.map(f => tableDir(table).resolve(f).toString): _*)
   }
 
+  /**
+   * Expire all but the last `keepLast` snapshots (Iceberg's
+   * `expire_snapshots`): delete the expired manifests and every data file
+   * no SURVIVING snapshot references. Without this a long-running table's
+   * storage is unbounded — fast appends add files every micro-batch and
+   * [[compact]] rewrites data but retains the old files for time travel.
+   * The current snapshot and the kept history are untouched; time travel
+   * to an expired snapshot now fails (NoSuchTable), and the oldest kept
+   * snapshot loses its parent, so [[readAppended]] on it degrades to the
+   * full manifest — the standard beyond-retention changelog limitation.
+   * Returns (expired snapshot count, deleted data-file count).
+   */
+  def expireSnapshots(table: String, keepLast: Int = 2): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val snaps = snapshots(table)
+    if (snaps.size <= keepLast) return (0, 0)
+    val (expired, kept) = snaps.splitAt(snaps.size - keepLast)
+    val keptFiles = kept.flatMap(_.files).toSet
+    // a file lives as long as ANY kept snapshot lists it (fast-append
+    // manifests share files across snapshots)
+    val doomed = expired.flatMap(_.files).distinct.filterNot(keptFiles)
+    doomed.foreach(f => Files.deleteIfExists(tableDir(table).resolve(f)))
+    expired.foreach(s =>
+      Files.deleteIfExists(snapDir(table).resolve(s"v${s.snapshotId}.json")))
+    (expired.size, doomed.size)
+  }
+
   /** Read a table at its current (or an explicit) snapshot. */
   def read(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
     val snap =

@@ -79,6 +79,39 @@ class StateSpec extends SparkTestBase {
     assert(t.read(spark, "stream").as[Long].collect().sorted.toSeq == (rows :+ 99L))
   }
 
+  test("IcebergLite: expireSnapshots bounds storage, keeps shared fast-append files") {
+    import spark.implicits._
+    val root = tmp()
+    val t = new IcebergLite(root)
+    // five full-replacement commits: disjoint file sets per snapshot
+    (1 to 5).foreach(i => t.commit(Seq(i.toLong).toDF("id"), "st"))
+    def dataFiles() = {
+      val dd = java.nio.file.Paths.get(root, "st", "data")
+      java.nio.file.Files.walk(dd).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).count()
+    }
+    val filesBefore = dataFiles()
+    val (expired, deleted) = t.expireSnapshots("st", keepLast = 2)
+    assert(expired == 3 && deleted > 0)
+    assert(dataFiles() < filesBefore, "expired data files must be deleted")
+    // current + kept history still readable; expired time travel now fails
+    assert(t.read(spark, "st").as[Long].head() == 5L)
+    assert(t.read(spark, "st", 3).as[Long].head() == 4L)
+    intercept[graft.tables.NoSuchTable] { t.read(spark, "st", 0) }
+    assert(t.snapshots("st").map(_.snapshotId) == Seq(3L, 4L))
+
+    // fast-append chain: old files are SHARED into kept manifests and must
+    // survive expiry of the snapshots that introduced them
+    t.commit(Seq(1L, 2L).toDF("id"), "ap")
+    t.append(Seq(3L).toDF("id"), "ap")
+    t.append(Seq(4L).toDF("id"), "ap")
+    val (e2, d2) = t.expireSnapshots("ap", keepLast = 2)
+    assert(e2 == 1 && d2 == 0, s"shared files must not be deleted (deleted $d2)")
+    assert(t.read(spark, "ap").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // expiring below the table's size is a no-op
+    assert(t.expireSnapshots("ap", keepLast = 10) == ((0, 0)))
+  }
+
   test("IcebergLite: json escaping round-trips hostile property values") {
     import spark.implicits._
     val t = new IcebergLite(tmp())
