@@ -92,6 +92,18 @@ class Supersteps(root: String, algo: String, spark: SparkSession) {
     tables.currentSnapshot(stateTable)
       .flatMap(_.properties.get("appendedRows")).map(_.toLong)
 
+  /** Expire all but the last `keepLast` state snapshots
+    * ([[IcebergLite.expireSnapshots]]): full-replacement supersteps
+    * (PageRank/CC/LPA) otherwise retain one complete state copy PER
+    * superstep. Resume only needs the LATEST committed superstep, so any
+    * keepLast ≥ 1 preserves restartability — but each expired manifest
+    * carries its superstep's metrics, so [[lineage]] truncates to the kept
+    * window; keep full history where the lineage record matters.
+    * Delta-committed state (BFS) shares every file forward into the latest
+    * manifest, so expiry there removes old manifests only, never data. */
+  def expire(keepLast: Int): (Int, Int) =
+    tables.expireSnapshots(stateTable, keepLast)
+
   /** Full lineage log: one row per committed superstep. Delta commits carry
     * no explicit rowsOut metric — the manifest's appendedRows is the true
     * per-superstep output, so it backfills rowsOut. */

@@ -321,4 +321,19 @@ class StateSpec extends SparkTestBase {
     assert(log.readState(0).as[(Long, Double)].head() == ((1L, 0.5)))
     assert(log.readState(1).as[(Long, Double)].head() == ((1L, 0.7)))
   }
+
+  test("Supersteps: expire keeps resume working from the latest superstep") {
+    import spark.implicits._
+    val root = tmp()
+    val log = new Supersteps(root, "demo", spark)
+    (0 to 4).foreach(i => log.commit(i, Seq((1L, i * 0.1)).toDF("id", "rank"),
+      SuperstepMetric("demo", i, 1, 0, 0, -1)))
+    val (expired, deleted) = log.expire(keepLast = 2)
+    assert(expired == 3 && deleted > 0)
+    // the restart point and the kept lineage window survive
+    val reopened = new Supersteps(root, "demo", spark)
+    assert(reopened.lastCompleted.contains(4))
+    assert(reopened.readState().as[(Long, Double)].head() == ((1L, 0.4)))
+    assert(reopened.lineage.map(_("superstep").toInt) == Seq(3, 4))
+  }
 }
