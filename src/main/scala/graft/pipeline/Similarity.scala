@@ -503,6 +503,44 @@ object Similarity {
     out
   }
 
+  /**
+   * IVF top-k for EXTERNAL query vectors against the committed index — the
+   * production probe shape (queries are usually new vectors, not corpus
+   * members). [[ivfTopKIndexed]] must scan the cells table once to find its
+   * query rows by id; this overload never touches the index for the query
+   * side at all: the query frame is small and broadcast, its nprobe cells
+   * come from the broadcast centroid table, and the only index I/O is the
+   * manifest-pruned read of the probed cells' files. Self-matches cannot
+   * arise (external ids), so every corpus vector in a probed cell is a
+   * candidate. Output: (q, rank, neighbor, cos), ranked by the same
+   * bounded-heap aggregate and tie-break as every ANN path.
+   */
+  def ivfTopKVectors(spark: org.apache.spark.sql.SparkSession, warehouse: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, nprobe: Int = 4, table: String = "ann_ivf"): DataFrame = {
+    import spark.implicits._
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val cs = broadcast(cat.read(spark, s"${table}_centroids"))
+    val qs = queries.select(col(idCol).as("q"), col(vecCol).as("qv"))
+    val cellTop = qs.join(cs)
+      .select($"q", cosine($"qv", $"cvec").as("cos"), $"cell".cast("long").as("neighbor"))
+      .groupBy($"q")
+      .agg(graft.functions.TopKByScore.topk_by($"cos", $"neighbor", nprobe).as("top"))
+      .select($"q", explode($"top.neighbor").as("cell"))
+      .select($"q", $"cell".cast("int").as("cell"))
+      .persist()
+    val probedCells = cellTop.select($"cell").distinct().as[Int].collect()
+      .map(_.toLong).toSet
+    val probed = broadcast(qs.join(cellTop, "q").select($"q", $"qv", $"cell"))
+    val corpus = cat.readPruned(spark, s"${table}_cells", probedCells)
+    val out = rankTopK(corpus.join(probed, Seq("cell"))
+        .select($"q", $"id".as("neighbor"),
+          round(cosine($"qv", $"vec"), 6).as("cos")), k)
+      .localCheckpoint(true)
+    cellTop.unpersist()
+    out
+  }
+
   /** SemDeDup-shaped near-dup pairs through the committed index —
     * row-identical to [[embeddingNearDupIvf]] at the build parameters,
     * zero training jobs (the within-cell compare inherently reads every

@@ -125,6 +125,25 @@ class AnnIndexSpec extends SparkTestBase {
     assert(top._3 == 9999L && top._4 == 1.0, s"got $top")
   }
 
+  test("external-vector probe: no index scan for queries, consistent with id probe") {
+    import spark.implicits._
+    val wh = tmp()
+    val emb2 = embs.select($"vec_id", $"embedding")
+    Similarity.buildIvfIndex(emb2, "vec_id", "embedding", wh, nlist = 16)
+    // an external query carrying corpus vector 0's embedding under a fresh
+    // id: identical vector ⇒ identical probe cells ⇒ rank 1 must be the
+    // corpus original at cos 1, and the tail must be the id-probe's list
+    val ext = emb2.filter($"vec_id" === 0L)
+      .select(lit(777000L).as("qid"), $"embedding")
+    val got = Similarity.ivfTopKVectors(spark, wh, ext, "qid", "embedding",
+        k = 6, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(got.head == ((777000L, 1, 0L, 1.0)), s"got ${got.head}")
+    val viaId = Similarity.ivfTopKIndexed(spark, wh, Seq(0L), k = 5, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(got.tail.map(r => (r._3, r._4)) == viaId.map(r => (r._3, r._4)))
+  }
+
   test("centroid table holds the bit-deterministic quantizer (rebuild-stable)") {
     import spark.implicits._
     val wh1 = tmp(); val wh2 = tmp()
