@@ -244,6 +244,12 @@ object Cli {
                     r.metrics.lastOption.getOrElse(
                       graft.algo.SuperstepMetric("pagerank", prev, 0L, 0L, 0L, -1.0)))
                   r
+                case (Some(_), true) =>
+                  // an empty state dir must not silently degrade to a cold
+                  // run — a typo'd --state path would cost the full cold
+                  // superstep count the user passed --warm to avoid
+                  usageError("--warm: no committed ranks under --state " +
+                    s"${arg(args, "state").getOrElse("")}")
                 case (Some(l), _) =>
                   graft.algo.PageRank.runResumable(verts, graph.edges, l, maxIter = iters)
                 case (None, true) =>

@@ -459,8 +459,45 @@ object Similarity {
       .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
     val cells = assignCells(vectors, idCol, vecCol, cs)
       .repartitionByRange(math.max(1, math.min(cs.size, 8)), $"cell")
-    cat.append(cells, s"${table}_cells", Map.empty, statsCol = Some("cell"))
+    // carry the build parameters forward: the snapshot properties ARE the
+    // index's self-description (nlist/seed/lloydIters), and an append must
+    // not erase it
+    val inherited = cat.currentSnapshot(s"${table}_cells")
+      .map(_.properties - "appendedRows").getOrElse(Map.empty)
+    cat.append(cells, s"${table}_cells", inherited, statsCol = Some("cell"))
     ()
+  }
+
+  /** Shared probe pipeline over a committed index: nprobe nearest cells per
+    * query (heap aggregate against the broadcast centroid table), manifest-
+    * pruned read of exactly the probed cells' files, exact rank within them.
+    * `excludeSelf` guards the corpus-member probe shape where a query would
+    * otherwise rank itself. */
+  private def probeCommitted(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.tables.IcebergLite, table: String, qs: DataFrame,
+      k: Int, nprobe: Int, excludeSelf: Boolean): DataFrame = {
+    import spark.implicits._
+    val cs = broadcast(cat.read(spark, s"${table}_centroids"))
+    val cellTop = qs.join(cs)
+      .select($"q", cosine($"qv", $"cvec").as("cos"), $"cell".cast("long").as("neighbor"))
+      .groupBy($"q")
+      .agg(graft.functions.TopKByScore.topk_by($"cos", $"neighbor", nprobe).as("top"))
+      .select($"q", explode($"top.neighbor").as("cell"))
+      .select($"q", $"cell".cast("int").as("cell"))
+      .persist()
+    // the probed-cell set is |queries| × nprobe ints — quantizer-sized, the
+    // same bounded-collect class as the training sums
+    val probedCells = cellTop.select($"cell").distinct().as[Int].collect()
+      .map(_.toLong).toSet
+    val probed = broadcast(qs.join(cellTop, "q").select($"q", $"qv", $"cell"))
+    val corpus = cat.readPruned(spark, s"${table}_cells", probedCells)
+    val cand = corpus.join(probed, Seq("cell"))
+    val out = rankTopK((if (excludeSelf) cand.filter($"id" =!= $"q") else cand)
+        .select($"q", $"id".as("neighbor"),
+          round(cosine($"qv", $"vec"), 6).as("cos")), k)
+      .localCheckpoint(true)
+    cellTop.unpersist()
+    out
   }
 
   /**
@@ -477,30 +514,9 @@ object Similarity {
       table: String = "ann_ivf"): DataFrame = {
     import spark.implicits._
     val cat = new graft.tables.IcebergLite(warehouse)
-    val cellsTable = s"${table}_cells"
-    val cs = broadcast(cat.read(spark, s"${table}_centroids"))
-    val qs = cat.read(spark, cellsTable).filter($"id".isin(queryIds: _*))
+    val qs = cat.read(spark, s"${table}_cells").filter($"id".isin(queryIds: _*))
       .select($"id".as("q"), $"vec".as("qv"))
-    // nprobe nearest cells per query: same heap aggregate, same tie-break
-    // as the retrain path
-    val cellTop = qs.join(cs)
-      .select($"q", cosine($"qv", $"cvec").as("cos"), $"cell".cast("long").as("neighbor"))
-      .groupBy($"q")
-      .agg(graft.functions.TopKByScore.topk_by($"cos", $"neighbor", nprobe).as("top"))
-      .select($"q", explode($"top.neighbor").as("cell"))
-      .select($"q", $"cell".cast("int").as("cell"))
-      .persist()
-    val probedCells = cellTop.select($"cell").distinct().as[Int].collect()
-      .map(_.toLong).toSet
-    val probed = broadcast(qs.join(cellTop, "q").select($"q", $"qv", $"cell"))
-    val corpus = cat.readPruned(spark, cellsTable, probedCells)
-    val out = rankTopK(corpus.join(probed, Seq("cell"))
-        .filter($"id" =!= $"q")
-        .select($"q", $"id".as("neighbor"),
-          round(cosine($"qv", $"vec"), 6).as("cos")), k)
-      .localCheckpoint(true)
-    cellTop.unpersist()
-    out
+    probeCommitted(spark, cat, table, qs, k, nprobe, excludeSelf = true)
   }
 
   /**
@@ -517,29 +533,10 @@ object Similarity {
    */
   def ivfTopKVectors(spark: org.apache.spark.sql.SparkSession, warehouse: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, nprobe: Int = 4, table: String = "ann_ivf"): DataFrame = {
-    import spark.implicits._
-    val cat = new graft.tables.IcebergLite(warehouse)
-    val cs = broadcast(cat.read(spark, s"${table}_centroids"))
-    val qs = queries.select(col(idCol).as("q"), col(vecCol).as("qv"))
-    val cellTop = qs.join(cs)
-      .select($"q", cosine($"qv", $"cvec").as("cos"), $"cell".cast("long").as("neighbor"))
-      .groupBy($"q")
-      .agg(graft.functions.TopKByScore.topk_by($"cos", $"neighbor", nprobe).as("top"))
-      .select($"q", explode($"top.neighbor").as("cell"))
-      .select($"q", $"cell".cast("int").as("cell"))
-      .persist()
-    val probedCells = cellTop.select($"cell").distinct().as[Int].collect()
-      .map(_.toLong).toSet
-    val probed = broadcast(qs.join(cellTop, "q").select($"q", $"qv", $"cell"))
-    val corpus = cat.readPruned(spark, s"${table}_cells", probedCells)
-    val out = rankTopK(corpus.join(probed, Seq("cell"))
-        .select($"q", $"id".as("neighbor"),
-          round(cosine($"qv", $"vec"), 6).as("cos")), k)
-      .localCheckpoint(true)
-    cellTop.unpersist()
-    out
-  }
+      k: Int = 10, nprobe: Int = 4, table: String = "ann_ivf"): DataFrame =
+    probeCommitted(spark, new graft.tables.IcebergLite(warehouse), table,
+      queries.select(col(idCol).as("q"), col(vecCol).as("qv")),
+      k, nprobe, excludeSelf = false)
 
   /** SemDeDup-shaped near-dup pairs through the committed index —
     * row-identical to [[embeddingNearDupIvf]] at the build parameters,

@@ -173,15 +173,26 @@ class IcebergLite(rootDir: String) {
     val cur = currentSnapshot(table)
       .getOrElse(throw NoSuchTable(s"table $table has no snapshots"))
     // clamp: repartition(0) throws, and a caller-computed `threshold/4` can
-    // legitimately floor to 0
-    val df = read(spark, table).repartition(math.max(1, targetFiles))
+    // legitimately floor to 0. A stats table compacts by RANGE on its stats
+    // column — a round-robin repartition would smear every value range
+    // across every file and neuter pruning even with fresh stats
+    val base = read(spark, table)
+    val df = cur.properties.get("statsCol") match {
+      case Some(c) => base.repartitionByRange(math.max(1, targetFiles),
+        org.apache.spark.sql.functions.col(c))
+      case None => base.repartition(math.max(1, targetFiles))
+    }
     // INHERIT the parent's properties: compaction changes the file layout,
     // not the logical state — markers like the streaming sink's `batchId`
     // idempotence guard must survive, or a micro-batch replayed after a
-    // compaction would be double-appended
+    // compaction would be double-appended. A stats table's statsCol is
+    // part of that state: RECOMPUTE the per-file ranges for the rewritten
+    // files, or the inherited property would claim prunability over an
+    // empty stats map and silently disable pruning
     commit(df, table, cur.properties - "appendedRows" ++ Map(
       "compactedFromSnapshot" -> cur.snapshotId.toString,
-      "compactedFromFiles" -> cur.files.size.toString))
+      "compactedFromFiles" -> cur.files.size.toString),
+      statsCol = cur.properties.get("statsCol"))
   }
 
   /** The data files of `snap` whose recorded stats range intersects
@@ -197,7 +208,10 @@ class IcebergLite(rootDir: String) {
     * commit's `statsCol` can contain one of `values` — Iceberg's
     * manifest-stats file pruning: a probe of p of N index cells reads ~p/N
     * of the table's bytes, and Spark never even lists the skipped files.
-    * Pruning is per-FILE; callers still apply their row predicate. */
+    * Pruning is per-FILE; callers still apply their row predicate. An empty
+    * or fully-pruned probe set yields an EMPTY frame with the table's
+    * schema (a probe for values the table doesn't hold is an empty answer,
+    * not an error). */
   def readPruned(spark: SparkSession, table: String, values: Set[Long],
       snapshotId: Long = -1L): DataFrame = {
     val snap =
@@ -208,8 +222,11 @@ class IcebergLite(rootDir: String) {
     require(snap.properties.contains("statsCol"),
       s"$table was not committed with a stats column")
     val sel = pruneFiles(snap, values)
-    require(sel.nonEmpty, s"no data file of $table can contain $values")
-    spark.read.parquet(sel.map(f => tableDir(table).resolve(f).toString): _*)
+    if (sel.nonEmpty)
+      spark.read.parquet(sel.map(f => tableDir(table).resolve(f).toString): _*)
+    else // schema from one real file, zero rows
+      read(spark, table, snap.snapshotId)
+        .where(org.apache.spark.sql.functions.lit(false))
   }
 
   /**
@@ -236,6 +253,19 @@ class IcebergLite(rootDir: String) {
     doomed.foreach(f => Files.deleteIfExists(tableDir(table).resolve(f)))
     expired.foreach(s =>
       Files.deleteIfExists(snapDir(table).resolve(s"v${s.snapshotId}.json")))
+    // drop each expired snapshot's data/sN dir outright when no kept
+    // manifest references into it — otherwise _SUCCESS/.crc sidecars and
+    // empty directories accumulate one per expired snapshot forever
+    expired.map(_.snapshotId).distinct.foreach { sid =>
+      val rel = s"data/s$sid"
+      if (!keptFiles.exists(_.startsWith(rel + "/"))) {
+        val dir = tableDir(table).resolve(rel)
+        if (Files.exists(dir)) {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+      }
+    }
     (expired.size, doomed.size)
   }
 
@@ -316,7 +346,7 @@ class IcebergLite(rootDir: String) {
       partitionRows = objField(json, "partitionRows")
         .map { case (k, v) => k.toInt -> v.toLong },
       properties = objField(json, "properties"),
-      fileStats = objField(json, "fileStats").map { case (k, v) =>
+      fileStats = objFieldOpt(json, "fileStats").map { case (k, v) =>
         val Array(lo, hi) = v.split(",", 2)
         k.toInt -> ((lo.toLong, hi.toLong))
       }))
@@ -334,9 +364,20 @@ class IcebergLite(rootDir: String) {
       .map(m => unesc(m.group(1))).toSeq
   }
 
-  private def objField(json: String, key: String): Map[String, String] =
+  /** STRICT object field: a manifest missing it is corrupt and must fail
+    * loudly (a silently-empty `properties` map would disarm the streaming
+    * sink's batchId idempotence guard — data duplication, not a crash). */
+  private def objField(json: String, key: String): Map[String, String] = {
+    if (("\"" + key + "\": \\{").r.findFirstIn(json).isEmpty)
+      throw new IllegalStateException(s"corrupt snapshot manifest: no \"$key\"")
+    objFieldOpt(json, key)
+  }
+
+  /** Lenient variant for fields newer than some manifests on disk
+    * (`fileStats`): absent ⇒ empty, never an error. */
+  private def objFieldOpt(json: String, key: String): Map[String, String] =
     ("\"" + key + "\": \\{(.*?)\\}").r.findFirstMatchIn(json) match {
-      case None => Map.empty // field absent (snapshot written pre-upgrade)
+      case None => Map.empty
       case Some(mm) =>
         "\"((?:[^\"\\\\]|\\\\.)*)\": (?:\"((?:[^\"\\\\]|\\\\.)*)\"|(-?\\d+))".r
           .findAllMatchIn(mm.group(1))

@@ -144,6 +144,34 @@ class AnnIndexSpec extends SparkTestBase {
     assert(got.tail.map(r => (r._3, r._4)) == viaId.map(r => (r._3, r._4)))
   }
 
+  test("probe robustness: unknown ids empty; compaction & appends keep pruning + params") {
+    import spark.implicits._
+    val wh = tmp()
+    val emb2 = embs.select($"vec_id", $"embedding")
+    Similarity.buildIvfIndex(emb2, "vec_id", "embedding", wh, nlist = 8)
+    val cat = new IcebergLite(wh)
+    // a probe for an id the index doesn't hold is an empty answer, not a
+    // crash (probedCells = ∅ ⇒ fully-pruned read ⇒ empty frame)
+    assert(Similarity.ivfTopKIndexed(spark, wh, Seq(999999L), k = 3).count() == 0)
+    // an append must not erase the index's self-description
+    Similarity.appendToIvfIndex(
+      emb2.filter($"vec_id" === 0L).select(lit(8888L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", wh)
+    assert(cat.currentSnapshot("ann_ivf_cells").get.properties("nlist") == "8")
+    // compaction recomputes stats over range-clustered files: pruning
+    // SURVIVES the rewrite instead of silently degrading to full scans
+    cat.compact(spark, "ann_ivf_cells", targetFiles = 4)
+    val snap = cat.currentSnapshot("ann_ivf_cells").get
+    assert(snap.properties("statsCol") == "cell")
+    assert(snap.files.nonEmpty && snap.fileStats.size == snap.files.size)
+    val someCell = cat.read(spark, "ann_ivf_cells")
+      .agg(min($"cell")).as[Int].head().toLong
+    assert(cat.pruneFiles(snap, Set(someCell)).size < snap.files.size,
+      "post-compaction probe must still skip files")
+    assert(Similarity.ivfTopKIndexed(spark, wh, Seq(0L), k = 3, nprobe = 3)
+      .count() == 3)
+  }
+
   test("centroid table holds the bit-deterministic quantizer (rebuild-stable)") {
     import spark.implicits._
     val wh1 = tmp(); val wh2 = tmp()

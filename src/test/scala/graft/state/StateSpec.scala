@@ -110,6 +110,24 @@ class StateSpec extends SparkTestBase {
     assert(t.read(spark, "ap").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
     // expiring below the table's size is a no-op
     assert(t.expireSnapshots("ap", keepLast = 10) == ((0, 0)))
+    // an expired snapshot's whole data dir (incl. _SUCCESS/.crc sidecars)
+    // is gone when nothing kept references into it
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "st", "data", "s0")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "st", "data", "s4")))
+  }
+
+  test("IcebergLite: a corrupt manifest fails loudly, never as empty properties") {
+    import spark.implicits._
+    val root = tmp()
+    val t = new IcebergLite(root)
+    t.commit(Seq(1L).toDF("id"), "c", Map("batchId" -> "7"))
+    val p = java.nio.file.Paths.get(root, "c", "snapshots", "v0.json")
+    val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    // silently-empty properties would disarm the streaming sink's batchId
+    // idempotence guard (replayed micro-batch double-appends)
+    java.nio.file.Files.write(p,
+      json.replace("\"properties\"", "\"propertiesX\"").getBytes("UTF-8"))
+    intercept[IllegalStateException] { t.currentSnapshot("c") }
   }
 
   test("IcebergLite: json escaping round-trips hostile property values") {
