@@ -451,7 +451,8 @@ object Similarity {
    * never O(index).
    */
   def appendToIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
-      warehouse: String, table: String = "ann_ivf"): Unit = {
+      warehouse: String, table: String = "ann_ivf",
+      extraProps: Map[String, String] = Map.empty): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val cat = new graft.tables.IcebergLite(warehouse)
@@ -461,10 +462,12 @@ object Similarity {
       .repartitionByRange(math.max(1, math.min(cs.size, 8)), $"cell")
     // carry the build parameters forward: the snapshot properties ARE the
     // index's self-description (nlist/seed/lloydIters), and an append must
-    // not erase it
+    // not erase it; extraProps overlays markers like a streaming sink's
+    // batchId idempotence guard
     val inherited = cat.currentSnapshot(s"${table}_cells")
       .map(_.properties - "appendedRows").getOrElse(Map.empty)
-    cat.append(cells, s"${table}_cells", inherited, statsCol = Some("cell"))
+    cat.append(cells, s"${table}_cells", inherited ++ extraProps,
+      statsCol = Some("cell"))
     ()
   }
 

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.Similarity
+import graft.tables.IcebergLite
+
+/**
+ * Continuous ANN-index maintenance: `readStream` over a growing embeddings
+ * directory, each micro-batch assigned with the committed index's FROZEN
+ * quantizer and fast-appended to the cells table
+ * ([[Similarity.appendToIvfIndex]]) — the similarity-side twin of
+ * [[IngestStream]]: new embeddings land in crawl cadence and become
+ * probe-able without ever retraining or rewriting the index. O(batch) work
+ * per micro-batch; manifest stats chain so pruned probes stay exact.
+ *
+ * Exactly-once cells over at-least-once micro-batches, the same two ways as
+ * the link sink: the file source's checkpoint tracks processed inputs, and
+ * each append records its `batchId` so a replayed batch (crash between
+ * append and checkpoint write) is skipped.
+ *
+ * The index must already exist ([[Similarity.buildIvfIndex]] over a seed
+ * corpus) — a quantizer cannot be trained on data that hasn't arrived; when
+ * drift accumulates, rebuild with `buildIvfIndex` and resume streaming.
+ */
+object IndexStream {
+
+  def run(spark: SparkSession, inputDir: String, warehouse: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      table: String = "ann_ivf",
+      trigger: Trigger = Trigger.AvailableNow()): Option[StreamingQuery] = {
+    val cat = new IcebergLite(warehouse)
+    require(cat.currentSnapshot(s"${table}_centroids").nonEmpty,
+      s"no committed $table index under $warehouse — buildIvfIndex first")
+    val schema =
+      try spark.read.parquet(inputDir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("PATH_NOT_FOUND") ||
+                c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          return None
+      }
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    Some(stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$warehouse/_checkpoints/$table")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val alreadyCommitted = cat.currentSnapshot(s"${table}_cells")
+          .exists(_.properties.get("batchId").exists(_.toLong >= batchId))
+        if (!alreadyCommitted)
+          Similarity.appendToIvfIndex(batch, idCol, vecCol, warehouse, table,
+            extraProps = Map("batchId" -> batchId.toString))
+        ()
+      }
+      .start())
+  }
+}

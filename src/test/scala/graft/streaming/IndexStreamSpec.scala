@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.pipeline.Similarity
+import graft.tables.IcebergLite
+import org.apache.spark.sql.functions._
+
+/** Streaming ANN-index maintenance: micro-batches assign with the frozen
+  * committed quantizer, land as idempotent fast appends, and are probe-able
+  * immediately; replays are skipped. */
+class IndexStreamSpec extends SparkTestBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-idxstream").toString
+
+  test("streamed appends == batch appends; frozen quantizer; replay skipped") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val wh = tmp()
+    val inputDir = tmp()
+
+    // seed index over the first 300 vectors
+    Similarity.buildIvfIndex(emb.filter($"vec_id" < 300), "vec_id", "embedding",
+      wh, nlist = 8)
+    val trained = Similarity.trainInvocations.get()
+    val cat = new IcebergLite(wh)
+
+    // no input yet: clean no-op
+    assert(IndexStream.run(spark, tmp() + "/nope", wh).isEmpty)
+
+    // two crawl segments land and stream in, one run per segment
+    emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+      .write.mode("append").parquet(inputDir)
+    IndexStream.run(spark, inputDir, wh).get.awaitTermination()
+    emb.filter($"vec_id" >= 400)
+      .write.mode("append").parquet(inputDir)
+    IndexStream.run(spark, inputDir, wh).get.awaitTermination()
+
+    assert(Similarity.trainInvocations.get() == trained,
+      "streaming maintenance must never retrain")
+    val snap = cat.currentSnapshot("ann_ivf_cells").get
+    assert(snap.rowCount == 500 && snap.properties.contains("batchId"))
+    assert(snap.properties("nlist") == "8", "build params survive streaming appends")
+    assert(snap.fileStats.size == snap.files.size, "stats chain through appends")
+
+    // streamed state == one-shot batch append of the same rows
+    val wh2 = tmp()
+    Similarity.buildIvfIndex(emb.filter($"vec_id" < 300), "vec_id", "embedding",
+      wh2, nlist = 8)
+    Similarity.appendToIvfIndex(emb.filter($"vec_id" >= 300), "vec_id", "embedding", wh2)
+    val a = new IcebergLite(wh).read(spark, "ann_ivf_cells")
+      .select($"id", $"cell").as[(Long, Int)].collect().toSet
+    val b = new IcebergLite(wh2).read(spark, "ann_ivf_cells")
+      .select($"id", $"cell").as[(Long, Int)].collect().toSet
+    assert(a == b && a.size == 500)
+
+    // replay: checkpoint knows every file — no new snapshot, same rows
+    val snaps = cat.snapshots("ann_ivf_cells").size
+    IndexStream.run(spark, inputDir, wh).get.awaitTermination()
+    assert(cat.snapshots("ann_ivf_cells").size == snaps)
+
+    // the streamed-in vectors are probe-able through the committed index
+    val top = Similarity.ivfTopKIndexed(spark, wh, Seq(450L), k = 3, nprobe = 4)
+    assert(top.count() == 3)
+  }
+}
