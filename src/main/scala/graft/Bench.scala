@@ -186,6 +186,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e6
     }
 
+    // committed ANN index: build ONCE over the sf embeddings, probe twice —
+    // the probe-vs-build economics the committed index exists for (probes
+    // must not pay the corpus-sized train/assign cost)
+    val annWh = java.nio.file.Files.createTempDirectory("bench-ann").toString
+    val annEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ta0 = System.nanoTime()
+    graft.pipeline.Similarity.buildIvfIndex(annEmb, "vec_id", "embedding", annWh)
+    val annBuild = (System.nanoTime() - ta0) / 1e9
+    val annProbes = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      graft.pipeline.Similarity.ivfTopKIndexed(spark, annWh,
+        Seq(0L, 1L, 2L), k = 10, nprobe = 4).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":${v.min}%.3f" }
       .mkString("{", ",", "}")
     val qruns = results.map { case (k, v) =>
@@ -203,6 +218,8 @@ object Bench {
       f""""unit":"edges/sec/superstep","efficiency":$efficiency%.3f,""" +
       s""""steps_n":[${stepsN.map(s => f"$s%.2f").mkString(",")}],""" +
       s""""steps_4n":[${steps4N.map(s => f"$s%.2f").mkString(",")}]},""" +
+      f""""ann_index":{"build_s":$annBuild%.2f,"probe1_s":${annProbes(0)}%.2f,""" +
+      f""""probe2_s":${annProbes(1)}%.2f},""" +
       f""""route_ms":{"runs":${routeMs.size},"min":${routeMs.min}%.2f,"max":${routeMs.max}%.2f,""" +
       f""""mean":${routeMs.sum / routeMs.size}%.2f},""" +
       f""""route_distributed_ms":{"runs":${routeDistMs.size},"min":${routeDistMs.min}%.1f,""" +
