@@ -205,14 +205,27 @@ object Cli {
             println(s"appended ${s.properties("appendedRows")} vectors " +
               s"(snapshot ${s.snapshotId}, ${s.rowCount} total)")
           }
+          def printProbe(label: String, t0: Long,
+              rows: Array[org.apache.spark.sql.Row]): Unit = {
+            println(f"$label in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            rows.foreach(r => println(
+              f"  q=${r.getLong(0)} rank=${r.getInt(1)} neighbor=${r.getLong(2)} cos=${r.getDouble(3)}%.6f"))
+          }
           arg(args, "query").foreach { q =>
             val ids = q.split(",").toSeq.map(_.trim.toLong)
             val t0 = System.nanoTime()
-            val rows = graft.pipeline.Similarity.ivfTopKIndexed(
-              spark, wh, ids, k = kTop, nprobe = nprobe).collect()
-            println(f"probed ${ids.size} queries in ${(System.nanoTime() - t0) / 1e9}%.2f s")
-            rows.foreach(r => println(
-              f"  q=${r.getLong(0)} rank=${r.getInt(1)} neighbor=${r.getLong(2)} cos=${r.getDouble(3)}%.6f"))
+            printProbe(s"probed ${ids.size} corpus-member queries", t0,
+              graft.pipeline.Similarity.ivfTopKIndexed(
+                spark, wh, ids, k = kTop, nprobe = nprobe).collect())
+          }
+          // the production probe shape: EXTERNAL query vectors from a
+          // parquet table (no index scan for the query side at all)
+          arg(args, "query-vectors").foreach { p =>
+            val t0 = System.nanoTime()
+            printProbe("probed external query vectors", t0,
+              graft.pipeline.Similarity.ivfTopKVectors(
+                spark, wh, spark.read.parquet(p), idCol, vecCol,
+                k = kTop, nprobe = nprobe).collect())
           }
 
         case Some("analyze") =>

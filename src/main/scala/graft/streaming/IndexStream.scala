@@ -26,10 +26,15 @@ import graft.tables.IcebergLite
  */
 object IndexStream {
 
+  /** `compactOver > 0`: when the cells manifest exceeds that many files,
+    * fold them down in-stream — [[IcebergLite.compact]] recomputes the
+    * per-file stats over range-clustered files, so manifest pruning AND the
+    * batchId guard both survive the rewrite. */
   def run(spark: SparkSession, inputDir: String, warehouse: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       table: String = "ann_ivf",
-      trigger: Trigger = Trigger.AvailableNow()): Option[StreamingQuery] = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactOver: Int = 0): Option[StreamingQuery] = {
     val cat = new IcebergLite(warehouse)
     require(cat.currentSnapshot(s"${table}_centroids").nonEmpty,
       s"no committed $table index under $warehouse — buildIvfIndex first")
@@ -50,9 +55,14 @@ object IndexStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val alreadyCommitted = cat.currentSnapshot(s"${table}_cells")
           .exists(_.properties.get("batchId").exists(_.toLong >= batchId))
-        if (!alreadyCommitted)
+        if (!alreadyCommitted) {
           Similarity.appendToIvfIndex(batch, idCol, vecCol, warehouse, table,
             extraProps = Map("batchId" -> batchId.toString))
+          if (compactOver > 0 && cat.currentSnapshot(s"${table}_cells")
+              .exists(_.files.size > compactOver))
+            cat.compact(spark, s"${table}_cells",
+              targetFiles = math.max(1, compactOver / 4))
+        }
         ()
       }
       .start())

@@ -66,4 +66,31 @@ class IndexStreamSpec extends SparkTestBase {
     val top = Similarity.ivfTopKIndexed(spark, wh, Seq(450L), k = 3, nprobe = 4)
     assert(top.count() == 3)
   }
+
+  test("in-stream cells compaction keeps stats, batchId guard, and probes") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val wh = tmp()
+    val inputDir = tmp()
+    Similarity.buildIvfIndex(emb.filter($"vec_id" < 200), "vec_id", "embedding",
+      wh, nlist = 8)
+    val cat = new IcebergLite(wh)
+    for (lo <- Seq(200, 300, 400)) {
+      emb.filter($"vec_id" >= lo && $"vec_id" < lo + 100)
+        .write.mode("append").parquet(inputDir)
+      IndexStream.run(spark, inputDir, wh, compactOver = 8).get.awaitTermination()
+    }
+    val snap = cat.currentSnapshot("ann_ivf_cells").get
+    assert(snap.rowCount == 500)
+    assert(snap.files.size <= 10, s"compaction never fired: ${snap.files.size}")
+    // stats recomputed through compaction; batchId survives; replay no-op
+    assert(snap.fileStats.size == snap.files.size)
+    assert(snap.properties.contains("batchId") && snap.properties("nlist") == "8")
+    val snaps = cat.snapshots("ann_ivf_cells").size
+    IndexStream.run(spark, inputDir, wh, compactOver = 8).get.awaitTermination()
+    assert(cat.snapshots("ann_ivf_cells").size == snaps)
+    assert(Similarity.ivfTopKIndexed(spark, wh, Seq(450L), k = 3, nprobe = 4)
+      .count() == 3)
+  }
 }
