@@ -263,11 +263,22 @@ object Similarity {
 
   /** Assign every vector to its nearest centroid. The nlist centroids are
     * driver-resident (they'd be broadcast anyway), so assignment is a pure
-    * NARROW projection: `array_max` over the literal array of (sim, -cell)
-    * structs — zero shuffle, zero sort, fully codegen'd, one corpus scan.
-    * Tie-break matches the exact ranking convention: highest sim, then
-    * lowest cell (struct ordering on (sim, -cell)). */
+    * NARROW projection — zero shuffle, zero sort, one corpus scan — through
+    * the [[graft.functions.NearestCell]] kernel, whose generated code is
+    * CONSTANT-SIZE in nlist (the literal-inlined argmax it replaced grew
+    * the Janino class linearly in nlist and its compile time dominated
+    * Lloyd training; see NearestCell's scaladoc for the numbers).
+    * Tie-break: highest sim, then lowest cell. */
   private[graft] def assignCells(vectors: DataFrame, idCol: String,
+      vecCol: String, cs: Seq[(Int, Array[Float])]): DataFrame =
+    vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      graft.functions.NearestCell.nearest_cell(col(vecCol), cs).as("cell"))
+
+  /** The literal-inlined formulation [[assignCells]] replaced — kept as the
+    * semantics reference the kernel is A/B-tested against (ScalePlanSpec):
+    * `array_max` over an array of (sim, -cell) structs with one inlined
+    * cosine per centroid. */
+  private[graft] def assignCellsPortable(vectors: DataFrame, idCol: String,
       vecCol: String, cs: Seq[(Int, Array[Float])]): DataFrame = {
     val scored = array(cs.map { case (cell, cv) =>
       struct(cosine(col(vecCol), typedlit(cv)).as("sim"),

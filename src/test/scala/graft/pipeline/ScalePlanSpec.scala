@@ -88,6 +88,33 @@ class ScalePlanSpec extends SparkTestBase {
     }
   }
 
+  test("NearestCell kernel ≡ literal-inlined argmax formulation (hostile rows too)") {
+    import spark.implicits._
+    val cs = Similarity.trainCentroids(embs, "vec_id", "embedding", nlist = 16)
+    val withNullElem = Seq(9003L).toDF("vec_id").select($"vec_id",
+      array((0 until 64).map(i =>
+        if (i == 5) lit(null).cast("float") else lit(1.0f)): _*).as("embedding"))
+    val hostile = Seq(
+        (9001L, Array.fill(64)(0.0f)),            // zero vector
+        (9002L, null.asInstanceOf[Array[Float]]), // null vector
+        (9004L, Array.fill(3)(1.0f)))             // ragged length
+      .toDF("vec_id", "embedding")
+      .union(withNullElem)
+    val base = embs.select($"vec_id", $"embedding").union(hostile)
+    def cellsOf(df: DataFrame) =
+      df.select($"id", $"cell").as[(Long, Int)].collect().toSet
+    val fast = cellsOf(Similarity.assignCells(base, "vec_id", "embedding", cs))
+    val ref = cellsOf(Similarity.assignCellsPortable(base, "vec_id", "embedding", cs))
+    assert(fast == ref, s"kernel diverged: ${(fast -- ref).take(3)} vs ${(ref -- fast).take(3)}")
+    // the degenerate rows are all assigned (totality) — to the lowest cell
+    val minCell = cs.map(_._1).min
+    assert(Seq(9001L, 9002L, 9003L, 9004L).forall(id =>
+      fast.contains((id, minCell))))
+    // and the kernel's plan stays a narrow codegen'd projection
+    val plan = planOf(Similarity.assignCells(base, "vec_id", "embedding", cs))
+    assert(plan.contains("nearest_cell") && !plan.contains("Exchange"))
+  }
+
   test("Lloyd training is bit-deterministic at any parallelism") {
     // per-dimension means are summed in decimal (order-independent), so the
     // trained quantizer must reproduce bit-for-bit under different
