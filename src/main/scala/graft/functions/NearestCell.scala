@@ -25,7 +25,7 @@ import org.apache.spark.sql.{Column, GraftExpressionBridge}
  * kernel — the centroids travel via the codegen references array — so the
  * source is tiny at any nlist and whole-stage codegen stays intact.
  *
- * Semantics are EXACTLY the formulation it replaces (A/B-asserted in
+ * Semantics match the formulation it replaces (A/B-asserted in
  * ScalePlanSpec over hostile rows too):
  *  - per-centroid similarity is the lenient cosine kernel's double
  *    left-fold ([[CosineSimilarity]]); a length mismatch, null element, or
@@ -35,6 +35,15 @@ import org.apache.spark.sql.{Column, GraftExpressionBridge}
  *  - a row with NO defined similarity (null/zero/ragged vector) falls to
  *    the lowest cell id, exactly as the null-sim struct comparison did —
  *    assignment is total, one degenerate row never aborts an index build.
+ *
+ * ONE deliberate divergence: a vector containing a NaN ELEMENT. Its cosine
+ * against every same-length centroid is NaN; Spark's struct ordering ranks
+ * NaN above any finite double, so the portable `array_max` formulation
+ * would crown a NaN-similarity cell (and WHICH cell then depends on tie
+ * order among all-NaN sims). The kernel instead SKIPS NaN similarities —
+ * order-independent by construction — so such a row has no defined
+ * similarity at all and falls to the lowest cell id like every other
+ * degenerate row. ScalePlanSpec pins both behaviors explicitly.
  */
 case class NearestCell(child: Expression, cells: Array[Int],
     matrix: Array[Array[Float]]) extends UnaryExpression {
@@ -104,10 +113,15 @@ object NearestCell {
             i += 1
           }
         }
+        // a NaN element makes dot/na/nb all NaN (na != 0.0 is TRUE for NaN,
+        // so the zero-norm check doesn't catch it) — skip the NaN sim
+        // explicitly so the winner never depends on centroid order: without
+        // this, a NaN sim arriving FIRST would stick (nothing beats NaN
+        // under `>`) while one arriving later would be skipped
         if (ok && na != 0.0 && nb != 0.0) {
           val sim = dot / (math.sqrt(na) * math.sqrt(nb))
-          if (bestCell == -1 || sim > bestSim ||
-              (sim == bestSim && cells(k) < bestCell)) {
+          if (!java.lang.Double.isNaN(sim) && (bestCell == -1 || sim > bestSim ||
+              (sim == bestSim && cells(k) < bestCell))) {
             bestSim = sim
             bestCell = cells(k)
           }

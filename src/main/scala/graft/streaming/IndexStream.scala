@@ -53,6 +53,7 @@ object IndexStream {
       .option("checkpointLocation", s"$warehouse/_checkpoints/$table")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StreamGuards.checkBatchId(cat, s"${table}_cells", batchId)
         val alreadyCommitted = cat.currentSnapshot(s"${table}_cells")
           .exists(_.properties.get("batchId").exists(_.toLong >= batchId))
         if (!alreadyCommitted) {

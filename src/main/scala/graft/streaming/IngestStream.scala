@@ -79,6 +79,7 @@ object IngestStream {
       .option("checkpointLocation", s"$warehouse/_checkpoints/$table")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StreamGuards.checkBatchId(cat, table, batchId)
         val alreadyCommitted = cat.currentSnapshot(table)
           .exists(_.properties.get("batchId").exists(_.toLong >= batchId))
         if (!alreadyCommitted) {

@@ -221,7 +221,11 @@ class IcebergLite(rootDir: String) {
         .getOrElse(throw NoSuchTable(s"table $table has no snapshots"))
     require(snap.properties.contains("statsCol"),
       s"$table was not committed with a stats column")
-    val sel = pruneFiles(snap, values)
+    // an empty probe set means "no values can match" — short-circuit to the
+    // empty frame rather than relying on pruneFiles, which conservatively
+    // keeps files with no recorded stats range (correct for a non-empty
+    // probe, but would return those files' rows for values = ∅)
+    val sel = if (values.isEmpty) Nil else pruneFiles(snap, values)
     if (sel.nonEmpty)
       spark.read.parquet(sel.map(f => tableDir(table).resolve(f).toString): _*)
     else // schema from one real file, zero rows

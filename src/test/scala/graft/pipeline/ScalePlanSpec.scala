@@ -115,6 +115,41 @@ class ScalePlanSpec extends SparkTestBase {
     assert(plan.contains("nearest_cell") && !plan.contains("Exchange"))
   }
 
+  test("NearestCell NaN contract: NaN sims skipped, order-independent (documented divergence from portable)") {
+    import spark.implicits._
+    // a NaN CENTROID (e.g. a quantizer trained over corrupt data) makes that
+    // cell's similarity NaN against every query while the other cells stay
+    // finite — the one shape where NaN competes with finite sims
+    val nanCentroid = Array.fill(4)(Float.NaN)
+    val good1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val good2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val vecs = Seq((1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.1f, 0.9f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    def kernelCells(cs: Seq[(Int, Array[Float])]) =
+      Similarity.assignCells(vecs, "vec_id", "embedding", cs)
+        .select($"id", $"cell").as[(Long, Int)].collect().toMap
+    // kernel skips the NaN sim wherever the NaN centroid sits in the scan
+    val nanFirst = kernelCells(Seq(1 -> nanCentroid, 2 -> good1, 3 -> good2))
+    val nanLast = kernelCells(Seq(2 -> good1, 3 -> good2, 1 -> nanCentroid))
+    assert(nanFirst == Map(1L -> 2, 2L -> 3), s"got $nanFirst")
+    assert(nanLast == Map(1L -> 2, 2L -> 3), s"got $nanLast")
+    // the portable struct-ordering formulation ranks NaN above any finite
+    // sim and would crown the NaN cell — the divergence the kernel's
+    // scaladoc declares; pin it so the contract can't drift silently
+    val portable = Similarity.assignCellsPortable(vecs, "vec_id", "embedding",
+        Seq(1 -> nanCentroid, 2 -> good1, 3 -> good2))
+      .select($"id", $"cell").as[(Long, Int)].collect().toMap
+    assert(portable.values.forall(_ == 1), s"portable NaN ordering changed: $portable")
+    // a NaN ELEMENT in the query vector: NaN sim against every same-length
+    // centroid ⇒ no defined similarity ⇒ totality fallback to the lowest cell
+    val nanVec = Seq((9L, Array(Float.NaN, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val fallback = Similarity.assignCells(nanVec, "vec_id", "embedding",
+        Seq(5 -> good1, 7 -> good2))
+      .select($"cell").as[Int].head()
+    assert(fallback == 5)
+  }
+
   test("Lloyd training is bit-deterministic at any parallelism") {
     // per-dimension means are summed in decimal (order-independent), so the
     // trained quantizer must reproduce bit-for-bit under different

@@ -67,6 +67,40 @@ class IndexStreamSpec extends SparkTestBase {
     assert(top.count() == 3)
   }
 
+  test("removed checkpoint (batch-id regression) fails loudly instead of dropping data") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val wh = tmp()
+    val inputDir = tmp()
+    Similarity.buildIvfIndex(emb.filter($"vec_id" < 300), "vec_id", "embedding",
+      wh, nlist = 8)
+    for (lo <- Seq(300, 400)) { // batchIds 0 and 1 recorded on the table
+      emb.filter($"vec_id" >= lo && $"vec_id" < lo + 100)
+        .write.mode("append").parquet(inputDir)
+      IndexStream.run(spark, inputDir, wh).get.awaitTermination()
+    }
+    val cat = new IcebergLite(wh)
+    assert(cat.currentSnapshot("ann_ivf_cells").get.properties("batchId") == "1")
+    // checkpoint vanishes while the table keeps its high-water mark: the
+    // restarted stream re-reads everything as batch 0 — before the guard,
+    // the `>= batchId` skip would silently drop every batch until the new
+    // counter caught up
+    val ckpt = java.nio.file.Paths.get(wh, "_checkpoints", "ann_ivf")
+    java.nio.file.Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IndexStream.run(spark, inputDir, wh).get.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => Option(t.getMessage).exists(_.contains("batch-id regression"))),
+      s"expected a loud batch-id regression failure, got: ${ex.getMessage}")
+    // and nothing was silently appended by the failed restart
+    assert(cat.currentSnapshot("ann_ivf_cells").get.properties("batchId") == "1")
+  }
+
   test("in-stream cells compaction keeps stats, batchId guard, and probes") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
