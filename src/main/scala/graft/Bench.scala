@@ -201,6 +201,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // committed LSH index: same build-once/probe-many economics for the
+    // bucket-table path, vs lshTopK's re-bucket-the-corpus-per-call
+    val tl0 = System.nanoTime()
+    graft.pipeline.Similarity.buildLshIndex(annEmb, "vec_id", "embedding",
+      annWh, planes = 8)
+    val lshBuild = (System.nanoTime() - tl0) / 1e9
+    val lshProbes = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      graft.pipeline.Similarity.lshTopKIndexed(spark, annWh,
+        Seq(0L, 1L, 2L), k = 10, probeHamming = 1).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tl1 = System.nanoTime()
+    graft.pipeline.Similarity.lshTopK(annEmb, "vec_id", "embedding",
+      Seq(0L, 1L, 2L), k = 10, planes = 8, probeHamming = 1).count()
+    val lshRebucket = (System.nanoTime() - tl1) / 1e9
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":${v.min}%.3f" }
       .mkString("{", ",", "}")
     val qruns = results.map { case (k, v) =>
@@ -220,6 +237,8 @@ object Bench {
       s""""steps_4n":[${steps4N.map(s => f"$s%.2f").mkString(",")}]},""" +
       f""""ann_index":{"build_s":$annBuild%.2f,"probe1_s":${annProbes(0)}%.2f,""" +
       f""""probe2_s":${annProbes(1)}%.2f},""" +
+      f""""lsh_index":{"build_s":$lshBuild%.2f,"probe1_s":${lshProbes(0)}%.2f,""" +
+      f""""probe2_s":${lshProbes(1)}%.2f,"rebucket_per_call_s":$lshRebucket%.2f},""" +
       f""""route_ms":{"runs":${routeMs.size},"min":${routeMs.min}%.2f,"max":${routeMs.max}%.2f,""" +
       f""""mean":${routeMs.sum / routeMs.size}%.2f},""" +
       f""""route_distributed_ms":{"runs":${routeDistMs.size},"min":${routeDistMs.min}%.1f,""" +

@@ -276,9 +276,33 @@ object Cli {
                 .select($"url", org.apache.spark.sql.functions.round($"rank", 6).as("rank"))
                 .collect().foreach(r => println(f"  ${r.getDouble(1)}%.6f  ${r.getString(0)}"))
             case "cc" =>
-              val res = log() match {
-                case Some(l) => graft.algo.ConnectedComponents.runResumable(verts, graph.edges, l)
-                case None => graft.algo.ConnectedComponents.run(verts, graph.edges)
+              // --warm: seed from the state dir's last committed star
+              // forest and feed the warehouse's CURRENT edges (a superset
+              // of the true delta — correct for any growth since edge
+              // appends only merge components); reconverges in fewer
+              // rounds than cold and recommits so the next cycle chains
+              val warmCc = args.contains("--warm")
+              val res = (log(), warmCc) match {
+                case (Some(l), true) if l.lastCompleted.nonEmpty =>
+                  val prev = l.lastCompleted.get
+                  val stars = l.readState().toDF("id", "component")
+                  val r = graft.algo.ConnectedComponents.warmStart(
+                    verts, graph.edges, stars)
+                  println(s"warm-started from superstep $prev: reconverged " +
+                    s"in ${r.rounds} rounds")
+                  l.commit(prev + r.rounds, r.components.toDF("u", "v"),
+                    r.metrics.lastOption.getOrElse(
+                      graft.algo.SuperstepMetric("cc", prev, 0L, 0L, 0L, -1.0)))
+                  r
+                case (Some(_), true) =>
+                  usageError("--warm: no committed cc state under --state " +
+                    s"${arg(args, "state").getOrElse("")}")
+                case (None, true) =>
+                  usageError("--warm needs --state with a previously committed cc run")
+                case (Some(l), _) =>
+                  graft.algo.ConnectedComponents.runResumable(verts, graph.edges, l)
+                case (None, _) =>
+                  graft.algo.ConnectedComponents.run(verts, graph.edges)
               }
               printSteps(res.metrics)
               val sizes = res.components.groupBy($"component").count()

@@ -85,6 +85,36 @@ object PlanAudit {
       cat.readPruned(spark, "ann_ivf_cells", probed)
         .filter($"cell".isin(probed.toSeq.map(_.toInt): _*)))
 
+    // member-id probe side (round 5): the query-row fetch must read a
+    // bounded subset of BOTH tables — the id sidecar pruned by query id,
+    // the cells table pruned by the queries' cells — never the whole index
+    val idsSnap = cat.currentSnapshot("ann_ivf_ids").get
+    println(s"\nann_ivf_ids: ${idsSnap.files.size} sidecar files; id probe {0} " +
+      s"prunes to ${cat.pruneFiles(idsSnap, Set(0L)).size} file(s)")
+    show("ivf-member-id-sidecar-fetch")(
+      cat.readPruned(spark, "ann_ivf_ids", Set(0L)).filter($"id" === 0L))
+
+    // skew-bounded within-cell near-dup (round 5): expect a SortMergeJoin /
+    // shuffled hash join on the COMPOSITE (cell, bi, bj) key — a hot
+    // quantizer cell spreads over B(B+1)/2 block-pair tasks — and no
+    // cartesian anywhere
+    show("neardup-ivf-blocked")(
+      graft.pipeline.Similarity.embeddingNearDupIvfIndexed(spark, wh,
+        threshold = 0.45, blocks = 8))
+
+    // committed LSH probe (round 5): bucket table read must list only the
+    // files whose bucket range intersects the probe set; ranking stays the
+    // bounded-heap aggregate, no Window, no re-bucketing of the corpus
+    graft.pipeline.Similarity.buildLshIndex(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      wh, planes = 6)
+    val lshSnap = cat.currentSnapshot("ann_lsh_buckets").get
+    println(s"\nann_lsh_buckets: ${lshSnap.files.size} data files " +
+      s"(stats on bucket, planes=${lshSnap.properties("planes")})")
+    show("lsh-indexed-probe")(
+      graft.pipeline.Similarity.lshTopKIndexed(spark, wh, Seq(0L, 1L),
+        k = 5, probeHamming = 1))
+
     spark.stop()
   }
 }

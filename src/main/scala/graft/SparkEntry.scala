@@ -350,6 +350,24 @@ object SparkEntry {
         Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
     },
 
+    // warm re-canonicalization of a GROWN corpus: labels from the first
+    // half of the documents, then the rest arrive and only their pairs are
+    // fed ([[Dedup.canonicalizeWarm]] → ConnectedComponents.warmStart).
+    // Warm == cold is the operator's contract, so the ORACLE IS THE COLD
+    // CLUSTERING over everything — the same SQL as d_clusters.
+    "d_clusters_warm" -> { (s, dir) =>
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val half = docs.agg(max($"doc_id")).head().getAs[Number](0).longValue / 2
+      val oldDocs = docs.filter($"doc_id" <= half)
+      val prev = Dedup.canonicalize(oldDocs, "doc_id",
+        Dedup.jaccardPairs(oldDocs, "doc_id", "text", n = 3, threshold = 0.5))
+      val delta = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+          threshold = 0.5)
+        .filter($"a" > half || $"b" > half)
+      Dedup.canonicalizeWarm(docs, "doc_id", delta, prev)
+    },
+
     "d_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
@@ -585,6 +603,10 @@ object SparkEntry {
     "d_jaccard" -> JaccardPairsSql,
 
     "d_clusters" -> clustersSql(16),
+
+    // warm == cold is the contract: the oracle for the warm path is the
+    // cold clustering over the full corpus
+    "d_clusters_warm" -> clustersSql(16),
 
     "d_minhash_sig" ->
       s"""WITH $ShinglesCte,

@@ -68,6 +68,70 @@ object ConnectedComponents {
   }
 
   /**
+   * Warm-start over a GROWN graph: previous component labels + only the
+   * DELTA edges, the monotone analog of [[PageRank.warmStart]] for a
+   * continuously-ingesting corpus. Edge appends can only MERGE components
+   * — never split them — so
+   *
+   *   CC(E_old ∪ Δ)  =  CC(stars(prev) ∪ Δ)
+   *
+   * where stars(prev) is the previous fixpoint rendered as edges (every
+   * non-root vertex → its component min: |V_old| edges at most, regardless
+   * of |E_old|). The large/small-star loop then starts from a forest that
+   * is ALREADY a fixpoint everywhere Δ doesn't touch, so rounds track the
+   * diameter of the merge structure the delta introduces, not log |V| of
+   * the whole graph — and each round's input is O(|V| + |Δ|) edges instead
+   * of O(|E|). This is what makes re-running
+   * [[graft.pipeline.Dedup.canonicalize]] cheap on a growing corpus: feed
+   * the last run's labels and only the new pairs.
+   *
+   * `vertices` must be the FULL post-growth vertex set (old + new); new
+   * vertices absent from `prevComponents` simply start as their own
+   * components, exactly as in a cold run. Result equality with the cold
+   * run is asserted in tests — the warm seed changes the path, not the
+   * fixpoint.
+   */
+  def warmStart(vertices: DataFrame, deltaEdges: Dataset[Edge],
+      prevComponents: DataFrame, maxRounds: Int = 50): Result = {
+    val spark = deltaEdges.sparkSession
+    import spark.implicits._
+    val verts = vertices.select(col(vertices.columns.head).as("id"))
+    val ops = new StarOps(spark)
+
+    def signature(e: DataFrame): (Long, Long) =
+      e.agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .as[(Long, Long)].head()
+
+    val stars = prevComponents
+      .select(col(prevComponents.columns.head).cast("long").as("u"),
+        col(prevComponents.columns(1)).cast("long").as("v"))
+    var cur = stars
+      .union(deltaEdges.toDF().select($"src".as("u"), $"dst".as("v")))
+      .filter($"u" =!= $"v").distinct().localCheckpoint(true)
+    var sig = signature(cur)
+    var rounds = 0
+    var converged = false
+    val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
+    while (!converged && rounds < maxRounds) {
+      val t0 = System.nanoTime()
+      val next = ops.smallStar(ops.largeStar(cur)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      cur = next
+      sig = nextSig
+      rounds += 1
+      metrics += SuperstepMetric("cc-warm", rounds, sig._1, sig._1,
+        (System.nanoTime() - t0) / 1000000L, if (converged) 0.0 else 1.0)
+    }
+    val comp = verts
+      .join(cur.select($"u".as("id"), $"v".as("comp")), Seq("id"), "left")
+      .groupBy($"id")
+      .agg(coalesce(min($"comp"), first($"id")).as("component"))
+    Result(comp, metrics.toSeq, rounds)
+  }
+
+  /**
    * Resumable variant: each round's evolving edge set is committed through
    * [[graft.state.Supersteps]] (snapshot properties carry the fixed-point
    * signature), so a killed job resumes at the last committed round and the

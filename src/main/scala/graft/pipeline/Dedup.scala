@@ -57,6 +57,29 @@ object Dedup {
       .components.select($"id", $"component".as("canonical_id"))
   }
 
+  /**
+   * Warm canonicalization for a GROWN corpus: the previous run's
+   * (id, canonical_id) labels + only the pairs involving new documents —
+   * [[graft.algo.ConnectedComponents.warmStart]] under the hood. Near-dup
+   * pairs are monotone (new docs add pairs, never remove them), so the
+   * result is IDENTICAL to re-running [[canonicalize]] over all pairs
+   * (asserted in tests), at O(|docs| + |new pairs|) per round instead of
+   * O(|all pairs|), and in fewer rounds (the previous labels are already a
+   * fixpoint wherever the delta doesn't touch).
+   */
+  def canonicalizeWarm(docs: DataFrame, idCol: String, newPairs: DataFrame,
+      prevCanonical: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val verts = docs.select(col(idCol).cast("long").as("id"))
+    val delta = newPairs.select($"a".cast("long").as("src"),
+      $"b".cast("long").as("dst")).as[graft.graph.Edge]
+    val prev = prevCanonical.select($"id".cast("long").as("id"),
+      $"canonical_id".cast("long").as("component"))
+    graft.algo.ConnectedComponents.warmStart(verts, delta, prev)
+      .components.select($"id", $"component".as("canonical_id"))
+  }
+
   // ---------------------------------------------------------------------------
   // Word-shingle machinery (shared by Jaccard and MinHash)
   // ---------------------------------------------------------------------------

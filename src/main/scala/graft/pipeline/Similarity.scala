@@ -90,11 +90,17 @@ object Similarity {
     if ((h & 1L) == 0L) 1.0 else -1.0
   }
 
+  /** Observability for the LSH build-once/probe-many contract: bumped once
+    * per corpus bucketing, so a test can assert committed-index probes never
+    * re-bucket. */
+  private[graft] val bucketInvocations = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Random-hyperplane signature: `planes`-bit bucket id per vector. Pass
     * the embedding dimensionality as `dim` when known — the fallback sniffs
     * it with a `first()` job (one extra tiny Spark job per call). */
   def lshBucket(vectors: DataFrame, idCol: String, vecCol: String,
       planes: Int = 8, seed: Long = 42L, dim: Int = -1): DataFrame = {
+    bucketInvocations.incrementAndGet()
     val spark = vectors.sparkSession
     import spark.implicits._
     val d = if (dim > 0) dim
@@ -396,12 +402,63 @@ object Similarity {
   def embeddingNearDupIvf(
       vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, seed: Long = 42L,
-      lloydIters: Int = 2): DataFrame =
-    cellPairs(ivfIndex(vectors, idCol, vecCol, nlist, seed, lloydIters), threshold)
+      lloydIters: Int = 2, blocks: Int = 8): DataFrame =
+    cellPairs(ivfIndex(vectors, idCol, vecCol, nlist, seed, lloydIters),
+      threshold, blocks)
 
-  /** Within-cell exact near-dup verify over an (id, vec, cell) assignment —
-    * shared by the retrain-per-call and committed-index paths. */
-  private def cellPairs(indexed: DataFrame, threshold: Double): DataFrame = {
+  /**
+   * Within-cell exact near-dup verify over an (id, vec, cell) assignment —
+   * shared by the retrain-per-call and committed-index paths.
+   *
+   * SKEW-BOUNDED: joining cell-to-cell alone would make task size track
+   * cell population — and real embedding corpora cluster (that is the
+   * premise of IVF), so one hot cell becomes one straggler task doing
+   * cell² kernel evals. Compose the cell key with the exact path's block
+   * partitioning ([[embeddingNearDupPairs]]): each cell's rows are
+   * id-hashed into `blocks` buckets, the B(B+1)/2 unordered bucket pairs
+   * are enumerated driver-side, and the join key is (cell, bi, bj) — the
+   * SAME Σ cell²/2 kernel evals, but every task bounded at (cell/B)²
+   * comparisons regardless of how lopsided the quantizer's cells are.
+   * Each unordered pair lands in exactly one (cell, bi, bj) task, so no
+   * distinct pass is needed; rows are identical to the unblocked
+   * formulation (asserted in ScalePlanSpec).
+   *
+   * The join sides are PINNED with an explicit `repartition(P, keys)`
+   * (P = `spark.sql.shuffle.partitions`): this operator's key groups are
+   * compute-QUADRATIC but byte-light, and AQE's byte-based partition
+   * coalescing would happily pack dozens of heavy groups back into one
+   * partition — measured on an 80k-vector hot-cell soak, coalescing undid
+   * the blocking entirely (max task 18.7 s ≈ the whole job) while the
+   * pinned shuffle spread it (max task 11.1 s, p90 4.2 s, wall 20.5 →
+   * 13.4 s). A user-specified repartition is exactly the escape hatch AQE
+   * respects.
+   */
+  private[graft] def cellPairs(indexed: DataFrame, threshold: Double,
+      blocks: Int = 8): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+    val v = indexed.select($"id", $"vec", $"cell",
+      pmod(xxhash64($"id", lit(0x5eedL)), lit(blocks)).as("blk"))
+    val bpairs = (for (i <- 0 until blocks; j <- i until blocks) yield (i, j))
+    val bpairsDf = broadcast(bpairs.toDF("bi", "bj"))
+    val l = v.join(bpairsDf, $"blk" === $"bi")
+      .select($"id".as("ia"), $"vec".as("va"), $"cell", $"bi", $"bj")
+      .repartition(p, $"cell", $"bi", $"bj")
+    val r = v.join(bpairsDf, $"blk" === $"bj")
+      .select($"id".as("ib"), $"vec".as("vb"), $"cell", $"bi", $"bj")
+      .repartition(p, $"cell", $"bi", $"bj")
+    l.join(r, Seq("cell", "bi", "bj"))
+      // same-block diagonal: keep one orientation; cross-block: ia≠ib always
+      .filter(($"bi" =!= $"bj") || ($"ia" < $"ib"))
+      .filter(round(cosine($"va", $"vb"), 6) >= threshold)
+      .select(least($"ia", $"ib").as("a"), greatest($"ia", $"ib").as("b"))
+  }
+
+  /** The unblocked cell-to-cell formulation [[cellPairs]] replaced — kept as
+    * the semantics reference for the A/B row-equality assertion. */
+  private[graft] def cellPairsUnblocked(indexed: DataFrame,
+      threshold: Double): DataFrame = {
     val spark = indexed.sparkSession
     import spark.implicits._
     val l = indexed.select($"id".as("a"), $"vec".as("va"), $"cell")
@@ -446,8 +503,39 @@ object Similarity {
     val cells = assignCells(vectors, idCol, vecCol, trained)
       .repartitionByRange(nlist, $"cell")
     cat.commit(cells, s"${table}_cells", props, statsCol = Some("cell"))
+    // build-time drift reference: each cell's mean best-centroid similarity
+    // over the rows assigned to it (one column-pruned pass over the just-
+    // committed cells). Recorded in the CENTROID table's snapshot
+    // properties — the quantizer's own self-description — so appends can
+    // cheaply report how well new data still fits ([[appendToIvfIndex]]'s
+    // driftFraction). nlist-sized string; a diagnostic, not an oracle.
+    val csDf = broadcast(spark.createDataset(trained).toDF("cell", "cvec"))
+    val cellMeans = cat.read(spark, s"${table}_cells")
+      .join(csDf, "cell")
+      .groupBy($"cell").agg(avg(cosine($"vec", $"cvec")).as("m"))
+      .as[(Int, Double)].collect().sortBy(_._1)
+    val meansProp = cellMeans.map { case (c, m) => f"$c:$m%.6f" }.mkString(",")
     cat.commit(spark.createDataset(trained).toDF("cell", "cvec"),
-      s"${table}_centroids", props)
+      s"${table}_centroids", props + ("cellMeanSim" -> meansProp))
+    commitIdSidecar(spark, cat, s"${table}_cells", s"${table}_ids", props)
+  }
+
+  /** Commit the id→cell/bucket SIDECAR of a committed index table: the
+    * member-id probe shape ("top-k for corpus member X") must locate X's
+    * row, but the main table's manifest stats are on cell/bucket, so an id
+    * lookup can't prune it — without the sidecar every member-id probe
+    * re-reads the WHOLE index for its query rows. The sidecar holds only
+    * (id, cell), range-clustered and stats'd on `id`, so the lookup reads
+    * ~1/files of a 2-column table. Source rows come from reading the just-
+    * committed main table back (a column-pruned parquet scan — cheaper than
+    * re-running assignment) so sidecar and table can never disagree. */
+  private def commitIdSidecar(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.tables.IcebergLite, mainTable: String, idsTable: String,
+      props: Map[String, String], valueCol: String = "cell"): Unit = {
+    val ids = cat.read(spark, mainTable).select(col("id"), col(valueCol))
+      .repartitionByRange(8, col("id"))
+    cat.commit(ids, idsTable, props, statsCol = Some("id"))
+    ()
   }
 
   /**
@@ -468,17 +556,51 @@ object Similarity {
     import spark.implicits._
     val cat = new graft.tables.IcebergLite(warehouse)
     val cs = cat.read(spark, s"${table}_centroids")
+      .select($"cell", $"cvec")
       .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
     val cells = assignCells(vectors, idCol, vecCol, cs)
       .repartitionByRange(math.max(1, math.min(cs.size, 8)), $"cell")
+    // DRIFT SIGNAL: the quantizer is frozen by design, so tell the operator
+    // WHEN it stops fitting — the fraction of appended rows whose best-cell
+    // similarity falls below their cell's build-time mean
+    // (`cellMeanSim` on the centroid snapshot). ~0.5 is the healthy
+    // same-distribution reading (half of any population sits below its
+    // mean); a drifted batch reads near 1.0 and the operator should plan a
+    // rebuild. O(batch) work, recorded as `driftFraction` on the append
+    // snapshot; indexes built before the reference existed skip it.
+    val driftProp: Map[String, String] =
+      cat.currentSnapshot(s"${table}_centroids")
+        .flatMap(_.properties.get("cellMeanSim")).map { ref =>
+          val means = ref.split(",").map { kv =>
+            val Array(c, m) = kv.split(":", 2); (c.toInt, m.toDouble) }.toSeq
+          val meansDf = broadcast(means.toDF("cell", "m"))
+          val csDf = broadcast(cs.toDF("cell", "cvec"))
+          val row = assignCells(vectors, idCol, vecCol, cs)
+            .join(csDf, "cell").join(meansDf, "cell")
+            .agg(avg((round(cosine($"vec", $"cvec"), 6) < $"m").cast("int"))
+              .as("frac"))
+            .head()
+          if (row.isNullAt(0)) Map.empty[String, String]
+          else Map("driftFraction" -> f"${row.getDouble(0)}%.4f")
+        }.getOrElse(Map.empty)
     // carry the build parameters forward: the snapshot properties ARE the
     // index's self-description (nlist/seed/lloydIters), and an append must
     // not erase it; extraProps overlays markers like a streaming sink's
     // batchId idempotence guard
     val inherited = cat.currentSnapshot(s"${table}_cells")
-      .map(_.properties - "appendedRows").getOrElse(Map.empty)
-    cat.append(cells, s"${table}_cells", inherited ++ extraProps,
+      .map(_.properties - "appendedRows" - "driftFraction").getOrElse(Map.empty)
+    cat.append(cells, s"${table}_cells", inherited ++ driftProp ++ extraProps,
       statsCol = Some("cell"))
+    // keep the id sidecar in lockstep: append the DELTA rows only (O(batch)
+    // via readAppended, never a table rewrite). An index built before the
+    // sidecar existed simply has none — probes fall back to the full scan.
+    if (cat.currentSnapshot(s"${table}_ids").nonEmpty) {
+      val delta = cat.readAppended(spark, s"${table}_cells")
+        .select($"id", $"cell").repartitionByRange(2, $"id")
+      val idProps = cat.currentSnapshot(s"${table}_ids")
+        .map(_.properties - "appendedRows").getOrElse(Map.empty)
+      cat.append(delta, s"${table}_ids", idProps, statsCol = Some("id"))
+    }
     ()
   }
 
@@ -528,8 +650,22 @@ object Similarity {
       table: String = "ann_ivf"): DataFrame = {
     import spark.implicits._
     val cat = new graft.tables.IcebergLite(warehouse)
-    val qs = cat.read(spark, s"${table}_cells").filter($"id".isin(queryIds: _*))
-      .select($"id".as("q"), $"vec".as("qv"))
+    // locate the query rows WITHOUT scanning the whole index: the id
+    // sidecar (stats'd on id) maps query ids to their cells reading a
+    // bounded file subset of a 2-column table, then the query VECTORS come
+    // from a cell-pruned read of exactly those cells' files. Indexes built
+    // before the sidecar existed fall back to the one full scan.
+    val qs =
+      if (cat.currentSnapshot(s"${table}_ids").nonEmpty) {
+        val qCells = cat.readPruned(spark, s"${table}_ids", queryIds.toSet)
+          .filter($"id".isin(queryIds: _*))
+          .select($"cell").distinct().as[Int].collect()
+        cat.readPruned(spark, s"${table}_cells", qCells.map(_.toLong).toSet)
+          .filter($"id".isin(queryIds: _*))
+          .select($"id".as("q"), $"vec".as("qv"))
+      } else
+        cat.read(spark, s"${table}_cells").filter($"id".isin(queryIds: _*))
+          .select($"id".as("q"), $"vec".as("qv"))
     probeCommitted(spark, cat, table, qs, k, nprobe, excludeSelf = true)
   }
 
@@ -558,7 +694,88 @@ object Similarity {
     * cell, so no file pruning applies here). */
   def embeddingNearDupIvfIndexed(spark: org.apache.spark.sql.SparkSession,
       warehouse: String, threshold: Double,
-      table: String = "ann_ivf"): DataFrame =
+      table: String = "ann_ivf", blocks: Int = 8): DataFrame =
     cellPairs(new graft.tables.IcebergLite(warehouse).read(spark, s"${table}_cells"),
-      threshold)
+      threshold, blocks)
+
+  // ---------------------------------------------------------------------------
+  // Build-once / probe-many: the LSH bucket table committed to Iceberg-lite
+  // ---------------------------------------------------------------------------
+
+  /**
+   * Build the committed LSH index — the bucket-table twin of
+   * [[buildIvfIndex]]: [[lshTopK]] re-buckets the ENTIRE corpus on every
+   * call (one corpus scan + planes kernel evals per row), fine for a
+   * one-shot eval, wrong economics at production query volume. Commits
+   *
+   *  - `<table>_buckets` (id, vec, bucket) — the corpus with its
+   *    random-hyperplane signature, range-clustered on `bucket` with
+   *    manifest (min, max) file stats so probes read only the files whose
+   *    bucket range intersects the probe set;
+   *  - `<table>_ids` (id, bucket) — the member-id sidecar, stats'd on `id`.
+   *
+   * The hyperplanes are a pure function of (seed, plane, dim) — no
+   * data-dependent state to store — so (planes, seed, dim) in the snapshot
+   * properties fully describe the index; any future probe (including an
+   * external-vector one) can re-derive the planes from the properties
+   * alone.
+   */
+  def buildLshIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      warehouse: String, table: String = "ann_lsh",
+      planes: Int = 8, seed: Long = 42L, dim: Int = -1): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val d = if (dim > 0) dim
+      else vectors.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).first().getInt(0)
+    val bucketed = lshBucket(vectors, idCol, vecCol, planes, seed, d)
+      .repartitionByRange(math.max(1, math.min(1 << planes, 32)), $"bucket")
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val props = Map("planes" -> planes.toString, "seed" -> seed.toString,
+      "dim" -> d.toString)
+    cat.commit(bucketed, s"${table}_buckets", props, statsCol = Some("bucket"))
+    commitIdSidecar(spark, cat, s"${table}_buckets", s"${table}_ids", props,
+      valueCol = "bucket")
+  }
+
+  /**
+   * LSH top-k through the committed bucket table — row-identical to
+   * [[lshTopK]] at the index's build parameters, with ZERO re-bucketing
+   * (asserted via [[bucketInvocations]] in tests): the probe's reads are
+   *
+   *  1. the id sidecar, pruned to the files covering the query ids, for
+   *     the |queries| query buckets (collected driver-side — the same
+   *     bounded-collect class as the IVF probe's cell set);
+   *  2. the bucket table, pruned to the files whose bucket range
+   *     intersects the Σ_{i≤probeHamming} C(planes,i) probe buckets per
+   *     query (enumerated driver-side from the committed `planes`).
+   *
+   * Mask 0 puts each query's own bucket in the probe set, so the query
+   * VECTORS come out of the same pruned read — the full bucket table is
+   * never scanned.
+   */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, warehouse: String,
+      queryIds: Seq[Long], k: Int = 10, probeHamming: Int = 1,
+      table: String = "ann_lsh"): DataFrame = {
+    import spark.implicits._
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val snap = cat.currentSnapshot(s"${table}_buckets").getOrElse(
+      throw graft.tables.NoSuchTable(
+        s"no committed $table index under $warehouse — buildLshIndex first"))
+    val planes = snap.properties("planes").toInt
+    val masks = probeMasks(planes, probeHamming)
+    val qBuckets = cat.readPruned(spark, s"${table}_ids", queryIds.toSet)
+      .filter($"id".isin(queryIds: _*))
+      .select($"id", $"bucket").as[(Long, Long)].collect()
+    val probePairs = qBuckets.flatMap { case (q, b) =>
+      masks.map(m => (q, b ^ m)) }.toSeq
+    val corpus = cat.readPruned(spark, s"${table}_buckets",
+      probePairs.map(_._2).toSet)
+    val qv = corpus.filter($"id".isin(queryIds: _*))
+      .select($"id".as("q"), $"vec".as("qv"))
+    val qProbes = broadcast(qv.join(probePairs.toDF("q", "bucket"), Seq("q")))
+    rankTopK(corpus.join(qProbes, Seq("bucket")).filter($"id" =!= $"q")
+      .select($"q", $"id".as("neighbor"),
+        round(cosine($"qv", $"vec"), 6).as("cos")), k)
+  }
 }

@@ -29,12 +29,23 @@ object IndexStream {
   /** `compactOver > 0`: when the cells manifest exceeds that many files,
     * fold them down in-stream — [[IcebergLite.compact]] recomputes the
     * per-file stats over range-clustered files, so manifest pruning AND the
-    * batchId guard both survive the rewrite. */
+    * batchId guard both survive the rewrite.
+    *
+    * `expireKeep > 0` additionally expires all but that many snapshots
+    * after each compaction ([[IcebergLite.expireSnapshots]]) — the
+    * RETENTION knob: a continuously-maintained index otherwise grows
+    * storage without bound (fast appends add files each micro-batch and
+    * compaction rewrites but retains the old ones for time travel). The
+    * current snapshot — properties (batchId idempotence guard, build
+    * params) and live data files — is always kept, so probes, replays, and
+    * resume survive expiry; keep it large enough to cover any reader still
+    * time-traveling. */
   def run(spark: SparkSession, inputDir: String, warehouse: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       table: String = "ann_ivf",
       trigger: Trigger = Trigger.AvailableNow(),
-      compactOver: Int = 0): Option[StreamingQuery] = {
+      compactOver: Int = 0,
+      expireKeep: Int = 0): Option[StreamingQuery] = {
     val cat = new IcebergLite(warehouse)
     require(cat.currentSnapshot(s"${table}_centroids").nonEmpty,
       s"no committed $table index under $warehouse — buildIvfIndex first")
@@ -60,9 +71,12 @@ object IndexStream {
           Similarity.appendToIvfIndex(batch, idCol, vecCol, warehouse, table,
             extraProps = Map("batchId" -> batchId.toString))
           if (compactOver > 0 && cat.currentSnapshot(s"${table}_cells")
-              .exists(_.files.size > compactOver))
+              .exists(_.files.size > compactOver)) {
             cat.compact(spark, s"${table}_cells",
               targetFiles = math.max(1, compactOver / 4))
+            if (expireKeep > 0)
+              cat.expireSnapshots(s"${table}_cells", keepLast = expireKeep)
+          }
         }
         ()
       }

@@ -66,6 +66,58 @@ class AlgoSpec extends SparkTestBase {
     (20 until 25).foreach(v => assert(got(v.toLong) == v.toLong))
   }
 
+  test("warm-start CC: same components as cold on the grown graph, fewer rounds") {
+    import spark.implicits._
+    // base: 8 disjoint paths of 32 vertices — deep structure, so a cold run
+    // needs several large/small-star rounds
+    val n = 256
+    val base = (0 until n - 1).filter(i => (i + 1) % 32 != 0).map(i => (i, i + 1))
+    val prev = ConnectedComponents.run(vertsOf(n), toDs(base))
+    // growth: 8 new vertices 256..263, each pair of adjacent paths bridged
+    // through one of them — components can only merge
+    val grown = n + 8
+    val delta = (0 until 8).map(p => (32 * p, n + p)) ++
+      (0 until 7).map(p => (n + p, 32 * (p + 1)))
+    val cold = ConnectedComponents.run(vertsOf(grown), toDs(base ++ delta))
+    val warm = ConnectedComponents.warmStart(vertsOf(grown), toDs(delta),
+      prev.components)
+    def labels(r: ConnectedComponents.Result) =
+      r.components.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val (c, w) = (labels(cold), labels(warm))
+    assert(w == c, "warm fixpoint must equal the cold fixpoint")
+    assert(w.size == grown)
+    // union-find oracle over the full edge set triangulates both
+    val want = ConnectedComponents.oracle(grown, base ++ delta)
+    (0 until grown).foreach(v => assert(w(v.toLong) == want(v).toLong))
+    // the warm seed starts from a near-fixpoint star forest: strictly fewer
+    // rounds than the cold run over the same grown graph
+    assert(warm.rounds < cold.rounds,
+      s"warm ${warm.rounds} rounds vs cold ${cold.rounds}")
+    // an EMPTY delta over unchanged vertices converges in one verification
+    // round and returns the previous labels verbatim
+    val noop = ConnectedComponents.warmStart(vertsOf(n), toDs(Nil),
+      prev.components)
+    assert(labels(noop) == labels(prev) && noop.rounds == 1)
+  }
+
+  test("canonicalizeWarm == canonicalize over all pairs (growing corpus)") {
+    import spark.implicits._
+    val docs0 = spark.range(40).toDF("doc_id")
+    val pairs0 = Seq((0L, 1L), (1L, 2L), (5L, 6L), (10L, 11L)).toDF("a", "b")
+    val prev = graft.pipeline.Dedup.canonicalize(docs0, "doc_id", pairs0)
+    // corpus grows: 10 new docs, new pairs bridge old clusters and add new
+    val docs1 = spark.range(50).toDF("doc_id")
+    val newPairs = Seq((2L, 5L), (40L, 41L), (11L, 42L)).toDF("a", "b")
+    val warm = graft.pipeline.Dedup.canonicalizeWarm(docs1, "doc_id",
+        newPairs, prev)
+      .as[(Long, Long)].collect().toMap
+    val cold = graft.pipeline.Dedup.canonicalize(docs1, "doc_id",
+        pairs0.union(newPairs))
+      .as[(Long, Long)].collect().toMap
+    assert(warm == cold)
+    assert(warm(6L) == 0L && warm(42L) == 10L && warm(41L) == 40L)
+  }
+
   test("label propagation matches driver oracle exactly (frozen convention)") {
     for ((n, m, seed) <- Seq((60, 150, 11L), (80, 100, 12L))) {
       val edges = randomDigraph(n, m, seed)

@@ -172,6 +172,125 @@ class AnnIndexSpec extends SparkTestBase {
       .count() == 3)
   }
 
+  test("committed LSH probes == re-bucket path, zero re-bucketing, pruned reads") {
+    import spark.implicits._
+    val wh = tmp()
+    Similarity.buildLshIndex(embs, "vec_id", "embedding", wh,
+      planes = 6, seed = 42L)
+    val cat = new IcebergLite(wh)
+    val snap = cat.currentSnapshot("ann_lsh_buckets").get
+    assert(snap.properties("planes") == "6" && snap.properties("dim") == "64")
+    assert(snap.properties("statsCol") == "bucket")
+    assert(snap.fileStats.size == snap.files.size)
+
+    val queries = Seq(0L, 1L, 2L)
+    val rebucket = Similarity.lshTopK(embs, "vec_id", "embedding", queries,
+        k = 5, planes = 6, probeHamming = 2)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val bucketedBefore = Similarity.bucketInvocations.get()
+    val p1 = Similarity.lshTopKIndexed(spark, wh, queries, k = 5, probeHamming = 2)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val p2 = Similarity.lshTopKIndexed(spark, wh, queries, k = 5, probeHamming = 2)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    assert(Similarity.bucketInvocations.get() == bucketedBefore,
+      "probing the committed LSH index must never re-bucket the corpus")
+    assert(p1 == rebucket, "committed probe must equal the re-bucket path")
+    assert(p2 == rebucket, "probes must be stable across calls")
+
+    // both probe reads are manifest-pruned to file subsets: the bucket
+    // table by the probe-bucket set, the id sidecar by the query ids
+    val someBucket = cat.read(spark, "ann_lsh_buckets")
+      .agg(min($"bucket")).as[Long].head()
+    assert(cat.pruneFiles(snap, Set(someBucket)).size < snap.files.size)
+    val idsSnap = cat.currentSnapshot("ann_lsh_ids").get
+    assert(idsSnap.properties("statsCol") == "id")
+    assert(cat.pruneFiles(idsSnap, Set(0L)).size < idsSnap.files.size,
+      "query-id lookup must not read the whole sidecar")
+    // an unknown member id is an empty answer, not a crash
+    assert(Similarity.lshTopKIndexed(spark, wh, Seq(999999L), k = 3).count() == 0)
+  }
+
+  test("member-id probes prune via the id sidecar; appends keep it in lockstep") {
+    import spark.implicits._
+    val wh = tmp()
+    val emb2 = embs.select($"vec_id", $"embedding")
+    Similarity.buildIvfIndex(emb2.filter($"vec_id" < 400), "vec_id", "embedding",
+      wh, nlist = 16)
+    val cat = new IcebergLite(wh)
+    val idsSnap = cat.currentSnapshot("ann_ivf_ids").get
+    assert(idsSnap.properties("statsCol") == "id")
+    assert(idsSnap.fileStats.size == idsSnap.files.size && idsSnap.files.size > 1)
+    // the query-row fetch reads a bounded subset of BOTH tables: sidecar
+    // files pruned by query id, cells files pruned by the queries' cells
+    assert(cat.pruneFiles(idsSnap, Set(0L)).size < idsSnap.files.size)
+    val q0cell = cat.read(spark, "ann_ivf_ids").filter($"id" === 0L)
+      .select($"cell").as[Int].head().toLong
+    val cellsSnap = cat.currentSnapshot("ann_ivf_cells").get
+    assert(cat.pruneFiles(cellsSnap, Set(q0cell)).size < cellsSnap.files.size)
+
+    // append: sidecar follows the cells table row-for-row, and the newly
+    // appended member is probe-able through the pruned path
+    Similarity.appendToIvfIndex(emb2.filter($"vec_id" >= 400), "vec_id",
+      "embedding", wh)
+    val cells = cat.read(spark, "ann_ivf_cells")
+      .select($"id", $"cell").as[(Long, Int)].collect().toSet
+    val sidecar = cat.read(spark, "ann_ivf_ids")
+      .as[(Long, Int)].collect().toSet
+    assert(sidecar == cells && sidecar.size == 500)
+    assert(cat.currentSnapshot("ann_ivf_ids").get.fileStats.nonEmpty)
+    assert(Similarity.ivfTopKIndexed(spark, wh, Seq(450L), k = 3, nprobe = 4)
+      .count() == 3)
+  }
+
+  test("quantizer drift signal: same-distribution append healthy, shifted batch trips it") {
+    import spark.implicits._
+    // a clustered corpus (8 modes + noise) — the setting where a frozen
+    // quantizer is meaningful. (The sf fixture's iid-random vectors would
+    // make ANY new batch read as drift: in high dim a quantizer trained on
+    // an iid sample memorizes it, which is itself the signal working.)
+    val rng = new java.util.Random(7)
+    val modes = Array.fill(8)(Array.fill(16)(rng.nextGaussian().toFloat))
+    def vecOf(id: Int): Array[Float] =
+      modes(id % 8).map(x => x + 0.1f * rng.nextGaussian().toFloat)
+    val corpus = (0 until 600).map(i => (i.toLong, vecOf(i)))
+      .toDF("vec_id", "embedding")
+    val wh = tmp()
+    Similarity.buildIvfIndex(corpus.filter($"vec_id" < 400), "vec_id",
+      "embedding", wh, nlist = 8)
+    val cat = new IcebergLite(wh)
+    // the build recorded its per-cell mean-sim reference on the quantizer
+    val ref = cat.currentSnapshot("ann_ivf_centroids").get
+      .properties("cellMeanSim")
+    assert(ref.split(",").forall(_.matches("-?\\d+:-?[0-9.]+")))
+
+    // same modes: roughly half of any same-distribution batch sits below
+    // its cell's build-time mean
+    Similarity.appendToIvfIndex(corpus.filter($"vec_id" >= 400 && $"vec_id" < 500),
+      "vec_id", "embedding", wh)
+    val healthy = cat.currentSnapshot("ann_ivf_cells").get
+      .properties("driftFraction").toDouble
+    assert(healthy > 0.05 && healthy < 0.95, s"healthy batch read $healthy")
+
+    // shifted distribution (negated vectors): best-cell similarity collapses
+    // ⇒ nearly every appended row falls below its cell's build-time mean
+    val shifted = corpus.filter($"vec_id" >= 500)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => -x).as("embedding"))
+    Similarity.appendToIvfIndex(shifted, "vec_id", "embedding", wh)
+    val drifted = cat.currentSnapshot("ann_ivf_cells").get
+      .properties("driftFraction").toDouble
+    assert(drifted > 0.9, s"shifted batch must trip the signal, read $drifted")
+    assert(drifted > healthy)
+    // the signal is per-append: it must not leak into inherited properties
+    // of the NEXT append as a stale reading
+    Similarity.appendToIvfIndex(corpus.filter($"vec_id" >= 400 && $"vec_id" < 450)
+        .select(($"vec_id" + 200000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", wh)
+    val third = cat.currentSnapshot("ann_ivf_cells").get
+      .properties("driftFraction").toDouble
+    assert(third < 0.95, s"stale drift reading inherited: $third")
+  }
+
   test("centroid table holds the bit-deterministic quantizer (rebuild-stable)") {
     import spark.implicits._
     val wh1 = tmp(); val wh2 = tmp()

@@ -150,6 +150,41 @@ class ScalePlanSpec extends SparkTestBase {
     assert(fallback == 5)
   }
 
+  test("skew-bounded cellPairs ≡ unblocked within-cell join; hot cell spreads over tasks") {
+    import spark.implicits._
+    val indexed = Similarity.ivfIndex(embs, "vec_id", "embedding", nlist = 8)
+      .cache()
+    def pairsOf(df: DataFrame) =
+      df.select($"a", $"b").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.cellPairs(indexed, threshold = 0.45, blocks = 4)
+    val got = pairsOf(blocked)
+    assert(got == pairsOf(Similarity.cellPairsUnblocked(indexed, 0.45)))
+    assert(got.nonEmpty && got.forall { case (a, b) => a < b })
+    // the join key is the composite (cell, bi, bj) — an equi-join, never a
+    // cartesian/NLJ, so no single task can hold a whole hot cell
+    val plan = planOf(blocked)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"blocked cellPairs must stay an equi-join:\n$plan")
+    assert(plan.contains("bi") && plan.contains("bj"),
+      s"join must carry the block-pair key:\n$plan")
+
+    // ONE-MODE-HEAVY corpus: every vector in a single quantizer cell. The
+    // unblocked join would put all candidate pairs in ONE task; the blocked
+    // key must spread them across B(B+1)/2 = 10 key groups ⇒ >1 partition
+    val hot = indexed.select($"id", $"vec", lit(3).as("cell"))
+    val hotPairs = Similarity.cellPairs(hot, threshold = -1.0, blocks = 4)
+    assert(pairsOf(hotPairs) == pairsOf(Similarity.cellPairsUnblocked(hot, -1.0)))
+    // the pinned repartition(P, keys) must hold even under AQE: this
+    // operator's groups are compute-quadratic but byte-light, and byte-based
+    // partition coalescing would pack them back into one task — the pin is
+    // what stops that, so assert the spread with AQE at its defaults
+    val parts = Similarity.cellPairs(hot, threshold = -1.0, blocks = 4)
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .distinct().count()
+    assert(parts > 1, s"hot cell still lands in one task: $parts partition(s)")
+    indexed.unpersist()
+  }
+
   test("Lloyd training is bit-deterministic at any parallelism") {
     // per-dimension means are summed in decimal (order-independent), so the
     // trained quantizer must reproduce bit-for-bit under different

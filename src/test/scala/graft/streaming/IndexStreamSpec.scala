@@ -101,6 +101,38 @@ class IndexStreamSpec extends SparkTestBase {
     assert(cat.currentSnapshot("ann_ivf_cells").get.properties("batchId") == "1")
   }
 
+  test("retention knob: snapshots bounded after in-stream compaction; probes and replay survive") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val wh = tmp()
+    val inputDir = tmp()
+    Similarity.buildIvfIndex(emb.filter($"vec_id" < 200), "vec_id", "embedding",
+      wh, nlist = 8)
+    val cat = new IcebergLite(wh)
+    for (lo <- Seq(200, 250, 300, 350, 400, 450)) {
+      emb.filter($"vec_id" >= lo && $"vec_id" < lo + 50)
+        .write.mode("append").parquet(inputDir)
+      IndexStream.run(spark, inputDir, wh, compactOver = 8, expireKeep = 2)
+        .get.awaitTermination()
+    }
+    val snaps = cat.snapshots("ann_ivf_cells")
+    assert(snaps.size <= 4,
+      s"retention must bound the snapshot log, got ${snaps.size}")
+    val cur = cat.currentSnapshot("ann_ivf_cells").get
+    assert(cur.rowCount == 500)
+    // the guard, the build params, and the stats chain survive expiry
+    assert(cur.properties.contains("batchId") && cur.properties("nlist") == "8")
+    assert(cur.fileStats.size == cur.files.size)
+    // replay after expiry: still a clean no-op, no batch double-appended
+    IndexStream.run(spark, inputDir, wh, compactOver = 8, expireKeep = 2)
+      .get.awaitTermination()
+    assert(cat.currentSnapshot("ann_ivf_cells").get.rowCount == 500)
+    // and the index stays probe-able through the pruned path
+    assert(Similarity.ivfTopKIndexed(spark, wh, Seq(470L), k = 3, nprobe = 4)
+      .count() == 3)
+  }
+
   test("in-stream cells compaction keeps stats, batchId guard, and probes") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
