@@ -91,8 +91,11 @@ object Similarity {
   }
 
   /** Observability for the LSH build-once/probe-many contract: bumped once
-    * per corpus bucketing, so a test can assert committed-index probes never
-    * re-bucket. */
+    * per [[lshBucket]] call, so a test can assert member-id probes of the
+    * committed index never re-bucket ANYTHING ([[lshTopKIndexed]] reads
+    * buckets back) — [[lshTopKVectors]] legitimately buckets its tiny
+    * external query frame, and an append buckets its batch, never the
+    * corpus. */
   private[graft] val bucketInvocations = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Random-hyperplane signature: `planes`-bit bucket id per vector. Pass
@@ -775,6 +778,74 @@ object Similarity {
       .select($"id".as("q"), $"vec".as("qv"))
     val qProbes = broadcast(qv.join(probePairs.toDF("q", "bucket"), Seq("q")))
     rankTopK(corpus.join(qProbes, Seq("bucket")).filter($"id" =!= $"q")
+      .select($"q", $"id".as("neighbor"),
+        round(cosine($"qv", $"vec"), 6).as("cos")), k)
+  }
+
+  /**
+   * Append newly ingested vectors to a COMMITTED LSH index — the bucket-
+   * table twin of [[appendToIvfIndex]]: the batch is bucketed with the
+   * COMMITTED (planes, seed, dim) — hyperplanes are a pure function of
+   * them, so an append can never disagree with the build — and lands as an
+   * Iceberg fast append with its own per-file bucket stats; the id sidecar
+   * follows with the O(batch) delta. Probes over the union stay exact.
+   */
+  def appendToLshIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      warehouse: String, table: String = "ann_lsh",
+      extraProps: Map[String, String] = Map.empty): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val snap = cat.currentSnapshot(s"${table}_buckets").getOrElse(
+      throw graft.tables.NoSuchTable(
+        s"no committed $table index under $warehouse — buildLshIndex first"))
+    val (planes, seed, dim) = (snap.properties("planes").toInt,
+      snap.properties("seed").toLong, snap.properties("dim").toInt)
+    val bucketed = lshBucket(vectors, idCol, vecCol, planes, seed, dim)
+      .repartitionByRange(2, $"bucket")
+    val inherited = snap.properties - "appendedRows"
+    cat.append(bucketed, s"${table}_buckets", inherited ++ extraProps,
+      statsCol = Some("bucket"))
+    if (cat.currentSnapshot(s"${table}_ids").nonEmpty) {
+      val delta = cat.readAppended(spark, s"${table}_buckets")
+        .select($"id", $"bucket").repartitionByRange(2, $"id")
+      val idProps = cat.currentSnapshot(s"${table}_ids")
+        .map(_.properties - "appendedRows").getOrElse(Map.empty)
+      cat.append(delta, s"${table}_ids", idProps, statsCol = Some("id"))
+    }
+    ()
+  }
+
+  /**
+   * LSH top-k for EXTERNAL query vectors against the committed index — the
+   * production probe shape, twin of [[ivfTopKVectors]]. The query frame is
+   * bucketed with the committed (planes, seed, dim) — O(|queries|) kernel
+   * work, the corpus is NEVER re-bucketed — and the only index I/O is the
+   * pruned read of the probe buckets' files. No self-match filter
+   * (external ids), so every corpus vector in a probed bucket competes.
+   */
+  def lshTopKVectors(spark: org.apache.spark.sql.SparkSession, warehouse: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, probeHamming: Int = 1,
+      table: String = "ann_lsh"): DataFrame = {
+    import spark.implicits._
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val snap = cat.currentSnapshot(s"${table}_buckets").getOrElse(
+      throw graft.tables.NoSuchTable(
+        s"no committed $table index under $warehouse — buildLshIndex first"))
+    val (planes, seed, dim) = (snap.properties("planes").toInt,
+      snap.properties("seed").toLong, snap.properties("dim").toInt)
+    val qb = lshBucket(queries.select(col(idCol), col(vecCol)),
+      idCol, vecCol, planes, seed, dim)
+    val masks = probeMasks(planes, probeHamming)
+    val qRows = qb.select($"id", $"bucket").as[(Long, Long)].collect()
+    val probePairs = qRows.flatMap { case (q, b) =>
+      masks.map(m => (q, b ^ m)) }.toSeq
+    val corpus = cat.readPruned(spark, s"${table}_buckets",
+      probePairs.map(_._2).toSet)
+    val qProbes = broadcast(qb.select($"id".as("q"), $"vec".as("qv"))
+      .join(probePairs.toDF("q", "bucket"), Seq("q")))
+    rankTopK(corpus.join(qProbes, Seq("bucket"))
       .select($"q", $"id".as("neighbor"),
         round(cosine($"qv", $"vec"), 6).as("cos")), k)
   }

@@ -74,8 +74,13 @@ object IndexStream {
               .exists(_.files.size > compactOver)) {
             cat.compact(spark, s"${table}_cells",
               targetFiles = math.max(1, compactOver / 4))
-            if (expireKeep > 0)
+            if (expireKeep > 0) {
               cat.expireSnapshots(s"${table}_cells", keepLast = expireKeep)
+              // the id sidecar fast-appends in lockstep with the cells
+              // table, so its snapshot log needs the same bounding
+              if (cat.currentSnapshot(s"${table}_ids").nonEmpty)
+                cat.expireSnapshots(s"${table}_ids", keepLast = expireKeep)
+            }
           }
         }
         ()

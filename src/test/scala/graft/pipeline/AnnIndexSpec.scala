@@ -210,6 +210,50 @@ class AnnIndexSpec extends SparkTestBase {
     assert(Similarity.lshTopKIndexed(spark, wh, Seq(999999L), k = 3).count() == 0)
   }
 
+  test("LSH append (frozen planes) + external-vector probe, consistent with id probe") {
+    import spark.implicits._
+    val wh = tmp()
+    val emb2 = embs.select($"vec_id", $"embedding")
+    Similarity.buildLshIndex(emb2.filter($"vec_id" < 400), "vec_id", "embedding",
+      wh, planes = 6)
+    val cat = new IcebergLite(wh)
+    // append the rest plus an exact duplicate of vector 0 under a new id
+    val dup = emb2.filter($"vec_id" === 0L)
+      .select(lit(7777L).as("vec_id"), $"embedding")
+    Similarity.appendToLshIndex(emb2.filter($"vec_id" >= 400).union(dup),
+      "vec_id", "embedding", wh)
+    // stored buckets over the union == fresh bucketing at the committed
+    // parameters — the hyperplanes are a pure function of (planes,seed,dim)
+    val stored = cat.read(spark, "ann_lsh_buckets")
+      .select($"id", $"bucket").as[(Long, Long)].collect().toSet
+    val expected = Similarity.lshBucket(emb2.union(dup).toDF(),
+        "vec_id", "embedding", planes = 6, seed = 42L, dim = 64)
+      .select($"id", $"bucket").as[(Long, Long)].collect().toSet
+    assert(stored == expected && stored.size == 501)
+    val snap = cat.currentSnapshot("ann_lsh_buckets").get
+    assert(snap.properties("planes") == "6", "build params survive appends")
+    assert(snap.fileStats.size == snap.files.size, "stats chain through appends")
+    // sidecar followed the append
+    assert(cat.read(spark, "ann_lsh_ids").as[(Long, Long)].collect().toSet
+      == stored)
+    // member-id probe finds the appended duplicate at rank 1, cosine 1
+    val viaId = Similarity.lshTopKIndexed(spark, wh, Seq(0L), k = 5,
+        probeHamming = 1)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(viaId.head._3 == 7777L && viaId.head._4 == 1.0, s"got ${viaId.head}")
+    // external probe carrying vector 0's embedding: identical bucket ⇒
+    // rank 1 is the corpus original (or its duplicate) at cos 1, and the
+    // neighbor list equals the id probe's plus the query row itself
+    val ext = emb2.filter($"vec_id" === 0L)
+      .select(lit(888000L).as("qid"), $"embedding")
+    val got = Similarity.lshTopKVectors(spark, wh, ext, "qid", "embedding",
+        k = 6, probeHamming = 1)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(got.head._4 == 1.0 && Set(0L, 7777L).contains(got.head._3))
+    assert(got.map(r => (r._3, r._4)).toSet
+      == (viaId.map(r => (r._3, r._4)).toSet + ((0L, 1.0))))
+  }
+
   test("member-id probes prune via the id sidecar; appends keep it in lockstep") {
     import spark.implicits._
     val wh = tmp()

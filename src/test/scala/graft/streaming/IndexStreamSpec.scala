@@ -119,6 +119,9 @@ class IndexStreamSpec extends SparkTestBase {
     val snaps = cat.snapshots("ann_ivf_cells")
     assert(snaps.size <= 4,
       s"retention must bound the snapshot log, got ${snaps.size}")
+    // the id sidecar fast-appends in lockstep — its log is bounded too
+    assert(cat.snapshots("ann_ivf_ids").size < 7,
+      s"sidecar log unbounded: ${cat.snapshots("ann_ivf_ids").size}")
     val cur = cat.currentSnapshot("ann_ivf_cells").get
     assert(cur.rowCount == 500)
     // the guard, the build params, and the stats chain survive expiry
