@@ -722,17 +722,31 @@ object Similarity {
    * properties fully describe the index; any future probe (including an
    * external-vector one) can re-derive the planes from the properties
    * alone.
+   *
+   * `targetFiles` is the PRUNING lever: a probe reads every file whose
+   * bucket RANGE intersects its probe set, and multi-probe buckets
+   * XOR-scatter across the 2^planes space — with few wide-range files,
+   * almost every file's range is hit (measured: 31 of 32 files at 106
+   * probe buckets over 1024). At one-file-per-bucket granularity
+   * (`targetFiles = 1 << planes`) a probe reads EXACTLY its probe set's
+   * share of the index bytes. Default (0 = auto) keeps 32 files for small
+   * corpora; size it toward 2^planes as the corpus grows — at production
+   * scale thousands of files is normal for a big table and per-file size,
+   * not file count, is what should bound the layout.
    */
   def buildLshIndex(vectors: DataFrame, idCol: String, vecCol: String,
       warehouse: String, table: String = "ann_lsh",
-      planes: Int = 8, seed: Long = 42L, dim: Int = -1): Unit = {
+      planes: Int = 8, seed: Long = 42L, dim: Int = -1,
+      targetFiles: Int = 0): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val d = if (dim > 0) dim
       else vectors.filter(col(vecCol).isNotNull)
         .select(size(col(vecCol))).first().getInt(0)
+    val nf = if (targetFiles > 0) math.min(targetFiles, 1 << planes)
+      else math.max(1, math.min(1 << planes, 32))
     val bucketed = lshBucket(vectors, idCol, vecCol, planes, seed, d)
-      .repartitionByRange(math.max(1, math.min(1 << planes, 32)), $"bucket")
+      .repartitionByRange(nf, $"bucket")
     val cat = new graft.tables.IcebergLite(warehouse)
     val props = Map("planes" -> planes.toString, "seed" -> seed.toString,
       "dim" -> d.toString)

@@ -210,6 +210,32 @@ class AnnIndexSpec extends SparkTestBase {
     assert(Similarity.lshTopKIndexed(spark, wh, Seq(999999L), k = 3).count() == 0)
   }
 
+  test("LSH file granularity: one-file-per-bucket layout prunes to the probe set") {
+    import spark.implicits._
+    val wh = tmp()
+    Similarity.buildLshIndex(embs, "vec_id", "embedding", wh,
+      planes = 6, targetFiles = 1 << 6)
+    val cat = new IcebergLite(wh)
+    val snap = cat.currentSnapshot("ann_lsh_buckets").get
+    // at fine granularity each file covers ~1 occupied bucket, so a probe
+    // lists at most its probe-set's worth of files — not "almost all"
+    val occupied = cat.read(spark, "ann_lsh_buckets")
+      .select($"bucket").distinct().as[Long].collect().toSet
+    val someBuckets = occupied.take(3)
+    val pruned = cat.pruneFiles(snap, someBuckets)
+    assert(pruned.size <= someBuckets.size + 1,
+      s"fine layout must prune to ~probe set: ${pruned.size} of ${snap.files.size}")
+    assert(snap.files.size > 16, s"expected fine-grained files, got ${snap.files.size}")
+    // rows are unaffected by layout
+    val got = Similarity.lshTopKIndexed(spark, wh, Seq(0L, 1L), k = 5,
+        probeHamming = 2)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val ref = Similarity.lshTopK(embs, "vec_id", "embedding", Seq(0L, 1L),
+        k = 5, planes = 6, probeHamming = 2)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    assert(got == ref)
+  }
+
   test("LSH append (frozen planes) + external-vector probe, consistent with id probe") {
     import spark.implicits._
     val wh = tmp()
