@@ -417,6 +417,27 @@ object SparkEntry {
       Dedup.winnowPairSpans(tbl(s, dir, "documents"), "doc_id", "text",
         k = PassagesK, w = PassagesW, minShared = PassagesMinShared.toLong)),
 
+    // incremental shared-passage dedup over corpus growth: fingerprint index
+    // built on the first half, the second half arrives and only its pairs
+    // are computed (new-vs-all postings join; old×old never recomputed).
+    // previous-pairs ∪ incremental == from-scratch is the operator's
+    // contract, so the ORACLE IS d_passages' from-scratch SQL.
+    "d_passages_incr" -> { (s, dir) =>
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val half = docs.agg(max($"doc_id")).head().getAs[Number](0).longValue / 2
+      val oldDocs = docs.filter($"doc_id" <= half)
+      val newDocs = docs.filter($"doc_id" > half)
+      val wh = java.nio.file.Files.createTempDirectory("graft-fpidx").toString
+      Dedup.buildFingerprintIndex(oldDocs, "doc_id", "text", wh,
+        k = PassagesK, w = PassagesW)
+      val prev = Dedup.winnowPairs(oldDocs, "doc_id", "text",
+        k = PassagesK, w = PassagesW, minShared = PassagesMinShared.toLong)
+      val incr = Dedup.winnowPairsIncremental(newDocs, "doc_id", "text", wh,
+        minShared = PassagesMinShared.toLong)
+      prev.union(incr)
+    },
+
     "s_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
@@ -692,6 +713,16 @@ object SparkEntry {
     // (doc, fp) postings, then the same inverted-index join the Spark side
     // runs (Dedup.winnowPairs)
     "d_passages" ->
+      s"""WITH ${winnowSelCte(PassagesK, PassagesW)},
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, m AS fp FROM sel)
+         |SELECT f1.doc_id AS a, f2.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared
+         |FROM fps f1 JOIN fps f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= $PassagesMinShared""".stripMargin,
+
+    // prev ∪ incremental == from-scratch is the contract: the incremental
+    // path's oracle is d_passages' own from-scratch SQL
+    "d_passages_incr" ->
       s"""WITH ${winnowSelCte(PassagesK, PassagesW)},
          |fps AS MATERIALIZED (SELECT DISTINCT doc_id, m AS fp FROM sel)
          |SELECT f1.doc_id AS a, f2.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared

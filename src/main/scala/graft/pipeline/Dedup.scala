@@ -270,6 +270,126 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------------
+  // Build-once / append-many: the committed fingerprint index.
+  // Composed with [[canonicalizeWarm]], the dedup ladder is incremental
+  // END-TO-END: new batch → appendToFingerprintIndex (O(batch) winnow) →
+  // winnowPairsIncremental (new-vs-all postings join, never old×old) →
+  // canonicalizeWarm (stars + delta). A continuously-ingesting corpus never
+  // re-fingerprints, re-pairs, or re-clusters what it already processed.
+  // ---------------------------------------------------------------------------
+
+  /** Commit a corpus's winnow-fingerprint postings (id, fp, fph) — `fph` is
+    * `xxhash64(fp)` (the fp itself is a digest STRING; the integral hash
+    * column is what Iceberg-lite manifest stats and range clustering key
+    * on), range-clustered with per-file (min, max) stats on `fph`, (k, w)
+    * recorded in the snapshot properties so appends can never disagree with
+    * the build. Joins stay on the exact `fp` string — `fph` only drives
+    * file pruning, where a hash collision merely keeps one extra file. */
+  def buildFingerprintIndex(docs: DataFrame, idCol: String, textCol: String,
+      warehouse: String, table: String = "fp_index",
+      k: Int = 8, w: Int = 6): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fps = graft.pipeline.TextAnalysis
+      .winnowFingerprints(docs, idCol, textCol, k, w)
+      .withColumn("fph", xxhash64($"fp"))
+      .repartitionByRange(16, $"fph")
+    val cat = new graft.tables.IcebergLite(warehouse)
+    cat.commit(fps, table, Map("k" -> k.toString, "w" -> w.toString),
+      statsCol = Some("fph"))
+    ()
+  }
+
+  /** Fast-append a new batch's fingerprints at the COMMITTED (k, w) —
+    * O(batch) winnow work, parent postings untouched. Same id-is-a-primary-
+    * key precondition as [[docShingles]], now across the table's lifetime. */
+  def appendToFingerprintIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, warehouse: String, table: String = "fp_index",
+      extraProps: Map[String, String] = Map.empty): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val snap = cat.currentSnapshot(table).getOrElse(
+      throw graft.tables.NoSuchTable(
+        s"no committed $table under $warehouse — buildFingerprintIndex first"))
+    val (k, w) = (snap.properties("k").toInt, snap.properties("w").toInt)
+    val fps = graft.pipeline.TextAnalysis
+      .winnowFingerprints(newDocs, idCol, textCol, k, w)
+      .withColumn("fph", xxhash64($"fp"))
+      .repartitionByRange(2, $"fph")
+    val inherited = snap.properties - "appendedRows"
+    cat.append(fps, table, inherited ++ extraProps, statsCol = Some("fph"))
+    ()
+  }
+
+  /**
+   * Incremental shared-passage pairs: appends `newDocs` to the committed
+   * fingerprint index, then returns EXACTLY the [[winnowPairs]] rows that
+   * involve at least one new document — (a, b, shared ≥ minShared) — so
+   *
+   *   winnowPairs(old) ∪ winnowPairsIncremental(new)  ==  winnowPairs(all)
+   *
+   * (disjoint by construction: previous pairs have both ends old; asserted
+   * exactly in PipelineSpec, and end-to-end as the `d_passages_incr`
+   * oracle). Work is the new batch's postings joined against old + new —
+   * O(|new fps| × postings-per-fp) — the old×old quadrant is NEVER
+   * recomputed. The `maxPostings` stop cut, when enabled, is computed over
+   * the FULL post-append postings so its decisions match a from-scratch
+   * [[winnowPairs]] over the union.
+   */
+  def winnowPairsIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, warehouse: String, table: String = "fp_index",
+      minShared: Long = 2L, maxPostings: Long = 0L): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    appendToFingerprintIndex(newDocs, idCol, textCol, warehouse, table)
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val snap = cat.currentSnapshot(table).get
+    val fresh0 = cat.readAppended(spark, table)
+    // the old side only matters where it shares a fingerprint with the
+    // batch: prune its files by the batch's fph set (bounded by the batch's
+    // distinct fingerprints — collected driver-side while that stays small;
+    // a conservative full read beyond that, the join is still exact either
+    // way because it keys on the fp STRING, never the hash)
+    val old0 =
+      if (snap.parentId < 0) fresh0.where(lit(false))
+      else {
+        val freshCount = fresh0.select($"fph").distinct().count()
+        if (freshCount <= 2000000L) {
+          val probe = fresh0.select($"fph").distinct().as[Long].collect().toSet
+          cat.readPruned(spark, table, probe, snap.parentId)
+        } else cat.read(spark, table, snap.parentId)
+      }
+    val (fresh, old) =
+      if (maxPostings > 0) {
+        // the cut decision is only ever consulted for fingerprints the
+        // batch carries (candidates require a shared fp with the batch), so
+        // count postings for exactly those fps — NOT a full-corpus groupBy
+        // per call. Counts are complete because the pruned old read keeps
+        // every file that can contain a probed fph (conservative pruning),
+        // hence every old posting of every batch fp.
+        val freshFps = fresh0.select($"fp").distinct()
+        val pc = old0.select($"fp").union(fresh0.select($"fp"))
+          .join(freshFps, "fp")
+          .groupBy($"fp").agg(count(lit(1)).as("pc"))
+          .filter($"pc" <= maxPostings).select($"fp")
+        (fresh0.join(pc, "fp"), old0.join(pc, "fp"))
+      } else (fresh0, old0)
+    // new×old (sides disjoint — no orientation dup) plus new×new (a < b):
+    // every ≥1-new pair appears exactly once per shared fingerprint
+    val newOld = fresh.select($"id".as("x"), $"fp")
+      .join(old.select($"id".as("y"), $"fp"), "fp")
+      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+    val newNew = fresh.select($"id".as("a"), $"fp")
+      .join(fresh.select($"id".as("b"), $"fp"), "fp")
+      .filter($"a" < $"b")
+      .select($"a", $"b")
+    newOld.union(newNew)
+      .groupBy($"a", $"b").agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= minShared)
+  }
+
+  // ---------------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------------
 

@@ -202,6 +202,66 @@ class PipelineSpec extends SparkTestBase {
     assert(cut.contains((1L, 2L)))
   }
 
+  test("incremental fingerprint index: prev ∪ incremental == from-scratch; ladder composes with warm CC") {
+    import spark.implicits._
+    val (k, w) = (8, 6)
+    val docsDf = docs.toDF()
+    val half = docList.map(_._1).max / 2
+    val oldDocs = docsDf.filter($"doc_id" <= half)
+    val newDocs = docsDf.filter($"doc_id" > half)
+    val wh = java.nio.file.Files.createTempDirectory("graft-fpidx").toString
+    Dedup.buildFingerprintIndex(oldDocs, "doc_id", "text", wh, k = k, w = w)
+    val cat = new graft.tables.IcebergLite(wh)
+    assert(cat.currentSnapshot("fp_index").get.properties("k") == "8")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"a", $"b", $"shared").as[(Long, Long, Long)].collect().toSet
+    val prev = rows(Dedup.winnowPairs(oldDocs, "doc_id", "text",
+      k = k, w = w, minShared = 1L))
+    val incr = rows(Dedup.winnowPairsIncremental(newDocs, "doc_id", "text",
+      wh, minShared = 1L))
+    val scratch = rows(Dedup.winnowPairs(docsDf, "doc_id", "text",
+      k = k, w = w, minShared = 1L))
+    // disjoint (prev: both old; incr: ≥1 new) and together EXACTLY scratch,
+    // shared counts included
+    assert((prev & incr).isEmpty)
+    assert((prev | incr) == scratch,
+      s"missing=${(scratch -- prev -- incr).take(3)} extra=${((prev | incr) -- scratch).take(3)}")
+    assert(incr.nonEmpty, "fixture must produce cross-half pairs")
+    // the appended index is the union's postings — a SECOND increment
+    // against it keeps composing (contract is associative over appends)
+    assert(cat.currentSnapshot("fp_index").get.properties("appendedRows").toLong > 0)
+
+    // full incremental ladder: warm canonicalization over the incremental
+    // pairs == cold canonicalization over all pairs
+    val prevLabels = Dedup.canonicalize(oldDocs, "doc_id",
+      prev.toSeq.map(p => (p._1, p._2)).toDF("a", "b"))
+    val warm = Dedup.canonicalizeWarm(docsDf, "doc_id",
+        incr.toSeq.map(p => (p._1, p._2)).toDF("a", "b"), prevLabels)
+      .as[(Long, Long)].collect().toMap
+    val cold = Dedup.canonicalize(docsDf, "doc_id",
+        scratch.toSeq.map(p => (p._1, p._2)).toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(warm == cold)
+
+    // maxPostings parity: the incremental cut is computed over the FULL
+    // post-append postings, so its decisions match the from-scratch cut
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-fpidx2").toString
+    Dedup.buildFingerprintIndex(oldDocs, "doc_id", "text", wh2, k = k, w = w)
+    val prevCut = rows(Dedup.winnowPairs(oldDocs, "doc_id", "text",
+      k = k, w = w, minShared = 1L, maxPostings = 4L))
+    val incrCut = rows(Dedup.winnowPairsIncremental(newDocs, "doc_id", "text",
+      wh2, minShared = 1L, maxPostings = 4L))
+    val scratchCut = rows(Dedup.winnowPairs(docsDf, "doc_id", "text",
+      k = k, w = w, minShared = 1L, maxPostings = 4L))
+    // prev-with-cut is NOT reusable verbatim (its cut saw only old postings)
+    // — the incremental quadrant must still match scratch's ≥1-new rows
+    val scratchNew = scratchCut.filter(p => p._1 > half || p._2 > half)
+    assert(incrCut == scratchNew,
+      s"missing=${(scratchNew -- incrCut).take(3)} extra=${(incrCut -- scratchNew).take(3)}")
+    assert(prevCut.forall(p => p._1 <= half && p._2 <= half))
+  }
+
   test("exact dedup groups identical normalized texts") {
     import spark.implicits._
     val res = Dedup.exact(docs, "doc_id", "text")
