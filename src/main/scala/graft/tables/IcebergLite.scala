@@ -197,12 +197,30 @@ class IcebergLite(rootDir: String) {
 
   /** The data files of `snap` whose recorded stats range intersects
     * `values`; files with no recorded range are conservatively kept.
-    * Exposed for plan-audit tests. */
-  def pruneFiles(snap: Snapshot, values: Set[Long]): Seq[String] =
+    * Exposed for plan-audit tests.
+    *
+    * Cost is O(files × log |values|): the probe set is sorted once and each
+    * file's (lo, hi) range binary-searches for a member — probe sets can be
+    * large (an incremental-dedup batch carries one value per distinct
+    * fingerprint), and the naive per-file `exists` scan is O(files ×
+    * |values|), minutes at a million values × a thousand files. */
+  def pruneFiles(snap: Snapshot, values: Set[Long]): Seq[String] = {
+    val sorted = values.toArray
+    java.util.Arrays.sort(sorted)
+    def hits(lo: Long, hi: Long): Boolean = {
+      // first element ≥ lo, then check it is ≤ hi
+      var a = 0; var b = sorted.length
+      while (a < b) {
+        val m = (a + b) >>> 1
+        if (sorted(m) < lo) a = m + 1 else b = m
+      }
+      a < sorted.length && sorted(a) <= hi
+    }
     snap.files.zipWithIndex.collect {
       case (f, i) if snap.fileStats.get(i)
-        .forall { case (lo, hi) => values.exists(v => v >= lo && v <= hi) } => f
+        .forall { case (lo, hi) => hits(lo, hi) } => f
     }
+  }
 
   /** Read only the data files whose manifest (min, max) range for the
     * commit's `statsCol` can contain one of `values` — Iceberg's
