@@ -47,14 +47,55 @@ object Dedup {
    * themselves. This is how a dedup pass actually ends at corpus scale:
    * keep one representative per transitive-duplicate cluster, not per pair.
    */
-  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+  /** Pair count at or below which [[canonicalize]]/[[canonicalizeWarm]]
+    * run the driver union-find instead of distributed large/small-star:
+    * a near-dup PAIR graph is tiny relative to its corpus (that is the
+    * point of dedup), and each distributed CC round costs several
+    * fixed-overhead jobs — the same threshold-gated small-input pattern as
+    * [[graft.query.InMemoryBfs]]. Both paths produce identical labels
+    * (min-id representative; asserted in PipelineSpec/AlgoSpec). */
+  val SmallGraphPairs = 200000L
+
+  /** Driver union-find over (a, b) edges → id → component-min mapping,
+    * for pair graphs under [[SmallGraphPairs]]. */
+  private def unionFindLabels(es: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    es.iterator.flatMap(e => Iterator(e._1, e._2)).map(x => x -> find(x)).toMap
+  }
+
+  /** Left-join `verts` against a driver-computed label map (docs in no pair
+    * map to themselves). */
+  private def labelsToFrame(verts: DataFrame, labels: Map[Long, Long]): DataFrame = {
+    val spark = verts.sparkSession
+    import spark.implicits._
+    val mapDf = broadcast(labels.toSeq.toDF("id", "cid"))
+    verts.join(mapDf, Seq("id"), "left")
+      .select($"id", coalesce($"cid", $"id").as("canonical_id"))
+  }
+
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame,
+      smallGraphPairs: Long = SmallGraphPairs): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val verts = docs.select(col(idCol).cast("long").as("id"))
     val edges = pairs.select($"a".cast("long").as("src"), $"b".cast("long").as("dst"))
-      .as[graft.graph.Edge]
-    graft.algo.ConnectedComponents.run(verts, edges)
-      .components.select($"id", $"component".as("canonical_id"))
+    if (edges.limit((smallGraphPairs + 1).toInt).count() <= smallGraphPairs) {
+      labelsToFrame(verts, unionFindLabels(
+        edges.as[(Long, Long)].collect()))
+    } else
+      graft.algo.ConnectedComponents.run(verts, edges.as[graft.graph.Edge])
+        .components.select($"id", $"component".as("canonical_id"))
   }
 
   /**
@@ -68,16 +109,26 @@ object Dedup {
    * fixpoint wherever the delta doesn't touch).
    */
   def canonicalizeWarm(docs: DataFrame, idCol: String, newPairs: DataFrame,
-      prevCanonical: DataFrame): DataFrame = {
+      prevCanonical: DataFrame,
+      smallGraphPairs: Long = SmallGraphPairs): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val verts = docs.select(col(idCol).cast("long").as("id"))
-    val delta = newPairs.select($"a".cast("long").as("src"),
-      $"b".cast("long").as("dst")).as[graft.graph.Edge]
     val prev = prevCanonical.select($"id".cast("long").as("id"),
       $"canonical_id".cast("long").as("component"))
-    graft.algo.ConnectedComponents.warmStart(verts, delta, prev)
-      .components.select($"id", $"component".as("canonical_id"))
+    val delta = newPairs.select($"a".cast("long"), $"b".cast("long"))
+    // small-graph fast path: the warm seed's star forest (non-root rows
+    // only, ≤ |prev docs|) + the delta, one driver union-find — same bound
+    // discipline as the cold path (stars counted, never assumed small)
+    val stars = prev.filter($"id" =!= $"component")
+    val seedEdges = stars.union(delta)
+    if (seedEdges.limit((smallGraphPairs + 1).toInt).count() <= smallGraphPairs) {
+      labelsToFrame(verts, unionFindLabels(
+        seedEdges.as[(Long, Long)].collect()))
+    } else
+      graft.algo.ConnectedComponents.warmStart(verts,
+          delta.toDF("src", "dst").as[graft.graph.Edge], prev)
+        .components.select($"id", $"component".as("canonical_id"))
   }
 
   // ---------------------------------------------------------------------------

@@ -262,6 +262,31 @@ class PipelineSpec extends SparkTestBase {
     assert(prevCut.forall(p => p._1 <= half && p._2 <= half))
   }
 
+  test("canonicalize small-graph union-find ≡ distributed large/small-star (both cold and warm)") {
+    import spark.implicits._
+    val docsDf = spark.range(60).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (40L, 41L), (41L, 42L), (3L, 10L)).toDF("a", "b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    // threshold 0 forces the DISTRIBUTED path; the default takes the
+    // driver union-find — identical labels is the fast path's contract
+    val fast = rows(Dedup.canonicalize(docsDf, "doc_id", pairs))
+    val dist = rows(Dedup.canonicalize(docsDf, "doc_id", pairs,
+      smallGraphPairs = 0L))
+    assert(fast == dist && fast(12L) == 0L && fast(42L) == 40L && fast(55L) == 55L)
+    // warm: same equivalence over a growth step
+    val prev = Dedup.canonicalize(docsDf, "doc_id", pairs)
+    val grown = spark.range(70).toDF("doc_id")
+    val delta = Seq((12L, 20L), (60L, 61L), (61L, 40L)).toDF("a", "b")
+    val warmFast = rows(Dedup.canonicalizeWarm(grown, "doc_id", delta, prev))
+    val warmDist = rows(Dedup.canonicalizeWarm(grown, "doc_id", delta, prev,
+      smallGraphPairs = 0L))
+    val cold = rows(Dedup.canonicalize(grown, "doc_id", pairs.union(delta)))
+    assert(warmFast == warmDist && warmFast == cold)
+    assert(warmFast(21L) == 0L && warmFast(61L) == 40L)
+  }
+
   test("exact dedup groups identical normalized texts") {
     import spark.implicits._
     val res = Dedup.exact(docs, "doc_id", "text")
