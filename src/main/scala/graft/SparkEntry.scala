@@ -372,6 +372,24 @@ object SparkEntry {
       Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
 
+    // incremental Jaccard over corpus growth — the shingle-index twin of
+    // d_passages_incr: previous-pairs ∪ incremental == from-scratch is the
+    // contract, so the oracle is d_jaccard's own SQL
+    "d_jaccard_incr" -> { (s, dir) =>
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val half = docs.agg(max($"doc_id")).head().getAs[Number](0).longValue / 2
+      val oldDocs = docs.filter($"doc_id" <= half)
+      val newDocs = docs.filter($"doc_id" > half)
+      val wh = java.nio.file.Files.createTempDirectory("graft-shidx").toString
+      Dedup.buildShingleIndex(oldDocs, "doc_id", "text", wh, n = 3)
+      val prev = Dedup.jaccardPairs(oldDocs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val incr = Dedup.jaccardPairsIncremental(newDocs, "doc_id", "text", wh,
+        threshold = 0.5)
+      prev.union(incr)
+    },
+
     "d_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(tbl(s, dir, "documents"), "doc_id", "text", n = 3, k = 8)),
 
@@ -622,6 +640,10 @@ object SparkEntry {
         |  ON d.digest = c.digest""".stripMargin,
 
     "d_jaccard" -> JaccardPairsSql,
+
+    // prev ∪ incremental == from-scratch: the incremental path's oracle is
+    // d_jaccard's own from-scratch SQL
+    "d_jaccard_incr" -> JaccardPairsSql,
 
     "d_clusters" -> clustersSql(16),
 

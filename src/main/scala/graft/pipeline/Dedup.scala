@@ -440,6 +440,117 @@ object Dedup {
       .filter($"shared" >= minShared)
   }
 
+  /** Commit a corpus's word-shingle postings (id, shingle, sh=xxhash64) +
+    * the `<table>_sizes` sidecar (id, sz — distinct shingles per doc,
+    * stats on id) — the committed substrate for
+    * [[jaccardPairsIncremental]]; `n` recorded in the snapshot properties.
+    * Same layout discipline as [[buildFingerprintIndex]]: joins key on the
+    * shingle STRING, the integral hash only drives range clustering and
+    * manifest file stats. */
+  def buildShingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      warehouse: String, table: String = "shingle_index",
+      n: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docShingles(docs, idCol, textCol, n)
+      .withColumn("sh", xxhash64($"shingle"))
+      .repartitionByRange(16, $"sh")
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val props = Map("n" -> n.toString)
+    cat.commit(ds, table, props, statsCol = Some("sh"))
+    val sizes = cat.read(spark, table).groupBy($"id")
+      .agg(count(lit(1)).as("sz"))
+      .repartitionByRange(8, $"id")
+    cat.commit(sizes, s"${table}_sizes", props, statsCol = Some("id"))
+    ()
+  }
+
+  /** Fast-append a new batch's shingle postings + sizes at the committed
+    * `n` — O(batch), parent postings untouched. */
+  def appendToShingleIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      warehouse: String, table: String = "shingle_index",
+      extraProps: Map[String, String] = Map.empty): Unit = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val snap = cat.currentSnapshot(table).getOrElse(
+      throw graft.tables.NoSuchTable(
+        s"no committed $table under $warehouse — buildShingleIndex first"))
+    val n = snap.properties("n").toInt
+    val ds = docShingles(newDocs, idCol, textCol, n)
+      .withColumn("sh", xxhash64($"shingle"))
+      .repartitionByRange(2, $"sh")
+    val inherited = snap.properties - "appendedRows"
+    cat.append(ds, table, inherited ++ extraProps, statsCol = Some("sh"))
+    val newSizes = cat.readAppended(spark, table).groupBy($"id")
+      .agg(count(lit(1)).as("sz")).repartitionByRange(2, $"id")
+    val szProps = cat.currentSnapshot(s"${table}_sizes")
+      .map(_.properties - "appendedRows").getOrElse(Map.empty)
+    cat.append(newSizes, s"${table}_sizes", szProps, statsCol = Some("id"))
+    ()
+  }
+
+  /**
+   * Incremental n-gram Jaccard pairs — [[winnowPairsIncremental]]'s twin
+   * for the ladder's second pillar: appends `newDocs` to the committed
+   * shingle index, then returns EXACTLY the [[jaccardPairs]] rows that
+   * involve at least one new document, so
+   *
+   *   jaccardPairs(old) ∪ jaccardPairsIncremental(new) == jaccardPairs(all)
+   *
+   * (disjoint by construction; unit-asserted, and driver-gated end-to-end
+   * as the `d_jaccard_incr` oracle). Candidate work is new-vs-all — the
+   * old×old quadrant is never recomputed — and intersection/union sizes
+   * come from the committed sizes sidecar, not a corpus rescan. The
+   * `maxPostings` cut, when enabled, counts over the full post-append
+   * postings restricted to the batch's shingles (complete by conservative
+   * pruning), matching a from-scratch run over the union.
+   */
+  def jaccardPairsIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, warehouse: String, table: String = "shingle_index",
+      threshold: Double = 0.8, maxPostings: Long = 0L): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    appendToShingleIndex(newDocs, idCol, textCol, warehouse, table)
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val snap = cat.currentSnapshot(table).get
+    val fresh0 = cat.readAppended(spark, table)
+    val old0 =
+      if (snap.parentId < 0) fresh0.where(lit(false))
+      else {
+        val freshCount = fresh0.select($"sh").distinct().count()
+        if (freshCount <= 2000000L) {
+          val probe = fresh0.select($"sh").distinct().as[Long].collect().toSet
+          cat.readPruned(spark, table, probe, snap.parentId)
+        } else cat.read(spark, table, snap.parentId)
+      }
+    val (fresh, old) =
+      if (maxPostings > 0) {
+        val freshSh = fresh0.select($"shingle").distinct()
+        val pc = old0.select($"shingle").union(fresh0.select($"shingle"))
+          .join(freshSh, "shingle")
+          .groupBy($"shingle").agg(count(lit(1)).as("pc"))
+          .filter($"pc" <= maxPostings).select($"shingle")
+        (fresh0.join(pc, "shingle"), old0.join(pc, "shingle"))
+      } else (fresh0, old0)
+    val newOld = fresh.select($"id".as("x"), $"shingle")
+      .join(old.select($"id".as("y"), $"shingle"), "shingle")
+      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+    val newNew = fresh.select($"id".as("a"), $"shingle")
+      .join(fresh.select($"id".as("b"), $"shingle"), "shingle")
+      .filter($"a" < $"b")
+      .select($"a", $"b")
+    val common = newOld.union(newNew)
+      .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
+    val sizes = cat.read(spark, s"${table}_sizes")
+    common
+      .join(sizes.select($"id".as("a"), $"sz".as("sza")), "a")
+      .join(sizes.select($"id".as("b"), $"sz".as("szb")), "b")
+      .filter($"common".cast("double") /
+        ($"sza" + $"szb" - $"common").cast("double") >= threshold)
+      .select($"a", $"b")
+  }
+
   // ---------------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------------

@@ -262,6 +262,40 @@ class PipelineSpec extends SparkTestBase {
     assert(prevCut.forall(p => p._1 <= half && p._2 <= half))
   }
 
+  test("incremental shingle index: prev ∪ incremental == from-scratch jaccardPairs") {
+    import spark.implicits._
+    val docsDf = docs.toDF()
+    val half = docList.map(_._1).max / 2
+    val oldDocs = docsDf.filter($"doc_id" <= half)
+    val newDocs = docsDf.filter($"doc_id" > half)
+    val wh = java.nio.file.Files.createTempDirectory("graft-shidx").toString
+    Dedup.buildShingleIndex(oldDocs, "doc_id", "text", wh, n = 3)
+    val cat = new graft.tables.IcebergLite(wh)
+    assert(cat.currentSnapshot("shingle_index").get.properties("n") == "3")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"a", $"b").as[(Long, Long)].collect().toSet
+    // permissive threshold so cross-half pairs exist in the fixture
+    val prev = rows(Dedup.jaccardPairs(oldDocs, "doc_id", "text",
+      n = 3, threshold = 0.2))
+    val incr = rows(Dedup.jaccardPairsIncremental(newDocs, "doc_id", "text",
+      wh, threshold = 0.2))
+    val scratch = rows(Dedup.jaccardPairs(docsDf, "doc_id", "text",
+      n = 3, threshold = 0.2))
+    assert((prev & incr).isEmpty)
+    assert((prev | incr) == scratch,
+      s"missing=${(scratch -- prev -- incr).take(3)} extra=${((prev | incr) -- scratch).take(3)}")
+    assert(incr.nonEmpty, "fixture must produce cross-half pairs")
+    // the sizes sidecar followed the append: one row per doc, correct sizes
+    val sz = cat.read(spark, "shingle_index_sizes")
+      .as[(Long, Long)].collect().toMap
+    assert(sz.keySet == docList.map(_._1).toSet)
+    val wantSz = cat.read(spark, "shingle_index").groupBy($"id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(sz == wantSz)
+  }
+
   test("canonicalize small-graph union-find ≡ distributed large/small-star (both cold and warm)") {
     import spark.implicits._
     val docsDf = spark.range(60).toDF("doc_id")
