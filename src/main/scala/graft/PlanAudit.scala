@@ -115,6 +115,19 @@ object PlanAudit {
       graft.pipeline.Similarity.lshTopKIndexed(spark, wh, Seq(0L, 1L),
         k = 5, probeHamming = 1))
 
+    // incremental dedup (round 5): the batch-vs-all postings join over the
+    // committed shingle index — expect hash equi-joins on the shingle
+    // string, the old side read from the PARENT snapshot's (pruned) files,
+    // sizes from the sidecar, and no cartesian anywhere
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val halfId = 250L
+    graft.pipeline.Dedup.buildShingleIndex(
+      docsDf.filter(col("doc_id") <= halfId), "doc_id", "text", wh, n = 3)
+    show("jaccard-incremental-postings")(
+      graft.pipeline.Dedup.jaccardPairsIncremental(
+        docsDf.filter(col("doc_id") > halfId), "doc_id", "text", wh,
+        threshold = 0.5))
+
     spark.stop()
   }
 }
