@@ -231,6 +231,19 @@ class PipelineSpec extends SparkTestBase {
     // the appended index is the union's postings — a SECOND increment
     // against it keeps composing (contract is associative over appends)
     assert(cat.currentSnapshot("fp_index").get.properties("appendedRows").toLong > 0)
+    val extra = Seq(
+      (900001L, docList.head._2), // duplicate of an original doc's text
+      (900002L, "entirely novel nonsense zebra quark flux"))
+      .toDF("doc_id", "text")
+    val incr2 = rows(Dedup.winnowPairsIncremental(extra, "doc_id", "text",
+      wh, minShared = 1L))
+    val scratch2 = rows(Dedup.winnowPairs(
+      docsDf.select($"doc_id", $"text").union(extra), "doc_id", "text",
+      k = k, w = w, minShared = 1L))
+    assert((prev | incr | incr2) == scratch2,
+      s"second increment broke composition: missing=${(scratch2 -- prev -- incr -- incr2).take(3)}")
+    assert(incr2.exists { case (a, b, _) => b == 900001L && a == docList.head._1 },
+      "duplicate of an indexed doc must pair with it in the second increment")
 
     // full incremental ladder: warm canonicalization over the incremental
     // pairs == cold canonicalization over all pairs

@@ -97,6 +97,31 @@ class IngestStreamSpec extends SparkTestBase {
     assert(cat.currentSnapshot("links_raw").get.properties.contains("batchId"))
   }
 
+  test("removed checkpoint (batch-id regression) fails loudly on the link sink too") {
+    import spark.implicits._
+    val inputDir = tmp()
+    val wh = tmp()
+    for (seed <- 1 to 2) { // batchIds 0 and 1 recorded on the table
+      SynthCorpus.generate(spark, 40, seed = seed.toLong).toDF()
+        .write.mode("append").parquet(inputDir)
+      IngestStream.run(spark, inputDir, wh).get.awaitTermination()
+    }
+    val cat = new IcebergLite(wh)
+    assert(cat.currentSnapshot("links_raw").get.properties("batchId") == "1")
+    val ckpt = java.nio.file.Paths.get(wh, "_checkpoints", "links_raw")
+    java.nio.file.Files.walk(ckpt).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IngestStream.run(spark, inputDir, wh).get.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.contains("batch-id regression"))),
+      s"expected a loud batch-id regression failure, got: ${ex.getMessage}")
+    assert(cat.currentSnapshot("links_raw").get.properties("batchId") == "1")
+  }
+
   test("empty or missing input dir starts no query and commits nothing") {
     val wh = tmp()
     assert(IngestStream.run(spark, tmp(), wh).isEmpty)           // empty dir
