@@ -115,18 +115,36 @@ object PlanAudit {
       graft.pipeline.Similarity.lshTopKIndexed(spark, wh, Seq(0L, 1L),
         k = 5, probeHamming = 1))
 
-    // incremental dedup (round 5): the batch-vs-all postings join over the
-    // committed shingle index — expect hash equi-joins on the shingle
-    // string, the old side read from the PARENT snapshot's (pruned) files,
-    // sizes from the sidecar, and no cartesian anywhere
+    // incremental dedup (round 6): the batch-vs-all postings join over the
+    // committed BUCKETED shingle index — expect the corpus side scanned as
+    // `Bucketed: true` with NO Exchange between its scan and the join (the
+    // batch side alone shuffles), sizes from the bucketed sidecar, and no
+    // cartesian anywhere. Broadcast is disabled for the audit so the
+    // big-against-big plan shape (the 100 TB case) is the one shown.
     val docsDf = spark.read.parquet(s"$dir/documents.parquet")
     val halfId = 250L
     graft.pipeline.Dedup.buildShingleIndex(
       docsDf.filter(col("doc_id") <= halfId), "doc_id", "text", wh, n = 3)
-    show("jaccard-incremental-postings")(
-      graft.pipeline.Dedup.jaccardPairsIncremental(
-        docsDf.filter(col("doc_id") > halfId), "doc_id", "text", wh,
-        threshold = 0.5))
+    val shCat = new graft.tables.IcebergLite(wh)
+    val shBatch = graft.pipeline.Dedup.batchShingles(
+      docsDf.filter(col("doc_id") > halfId), "doc_id", "text",
+      shCat.currentSnapshot("shingle_index").get)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    show("jaccard-incremental-bucketed")(
+      graft.pipeline.Dedup.jaccardIncrPlan(shCat, "shingle_index", shBatch,
+        threshold = 0.5, maxPostings = 0L))
+    // fingerprint-index twin (winnow postings), same layout contract
+    graft.pipeline.Dedup.buildFingerprintIndex(
+      docsDf.filter(col("doc_id") <= halfId), "doc_id", "text", wh,
+      k = 16, w = 8)
+    val fpBatch = graft.pipeline.Dedup.batchFps(
+      docsDf.filter(col("doc_id") > halfId), "doc_id", "text",
+      shCat.currentSnapshot("fp_index").get)
+    show("winnow-incremental-bucketed")(
+      graft.pipeline.Dedup.winnowIncrPlan(shCat, "fp_index", fpBatch,
+        minShared = 2L, maxPostings = 0L))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
 
     spark.stop()
   }

@@ -329,54 +329,85 @@ object Dedup {
   // re-fingerprints, re-pairs, or re-clusters what it already processed.
   // ---------------------------------------------------------------------------
 
-  /** Commit a corpus's winnow-fingerprint postings (id, fp, fph) — `fph` is
-    * `xxhash64(fp)` (the fp itself is a digest STRING; the integral hash
-    * column is what Iceberg-lite manifest stats and range clustering key
-    * on), range-clustered with per-file (min, max) stats on `fph`, (k, w)
-    * recorded in the snapshot properties so appends can never disagree with
-    * the build. Joins stay on the exact `fp` string — `fph` only drives
-    * file pruning, where a hash collision merely keeps one extra file. */
+  /** Post-append housekeeping shared by the batch index-append APIs — the
+    * same knobs [[graft.streaming.IndexStream]] wires for streaming
+    * maintenance: `compactOver > 0` folds the table's data files down when
+    * the manifest exceeds that many (for a bucketed table: back to one file
+    * per bucket), `expireKeep > 0` then bounds the snapshot log. Without
+    * this a long chain of BATCH appends accumulates files and snapshots
+    * without limit — the classic small-file problem. */
+  private def maintain(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.tables.IcebergLite, table: String,
+      compactOver: Int, expireKeep: Int): Unit = {
+    if (compactOver > 0 &&
+        cat.currentSnapshot(table).exists(_.files.size > compactOver)) {
+      cat.compact(spark, table, targetFiles = math.max(1, compactOver / 4))
+      if (expireKeep > 0) cat.expireSnapshots(table, keepLast = expireKeep)
+    }
+  }
+
+  /** Commit a corpus's winnow-fingerprint postings (id, fp) as a BUCKETED
+    * Iceberg-lite table hashed on `fp` into `buckets` files: every
+    * batch-vs-corpus join in [[winnowPairsIncremental]] then reads the
+    * corpus side pre-partitioned (Spark bucket co-location) and shuffles
+    * ONLY the batch — the O(corpus-bytes) shuffle term the round-5 range
+    * layout paid per increment is gone by layout. The bucket column is
+    * EXACTLY the join key, deliberately: Spark only lets an existing
+    * partitioning stand in for a join-side shuffle when it covers the full
+    * cluster keys (`HashShuffleSpec.canCreatePartitioning`), so the
+    * round-5 (hash, string) composite — hash for stats, string for
+    * exactness — would be re-shuffled despite the buckets (measured in
+    * ScalePlanSpec before this layout landed). (k, w) live in the snapshot
+    * properties so appends can never disagree with the build. */
   def buildFingerprintIndex(docs: DataFrame, idCol: String, textCol: String,
       warehouse: String, table: String = "fp_index",
-      k: Int = 8, w: Int = 6): Unit = {
+      k: Int = 8, w: Int = 6, buckets: Int = 16): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val fps = graft.pipeline.TextAnalysis
       .winnowFingerprints(docs, idCol, textCol, k, w)
-      .withColumn("fph", xxhash64($"fp"))
-      .repartitionByRange(16, $"fph")
     val cat = new graft.tables.IcebergLite(warehouse)
     cat.commit(fps, table, Map("k" -> k.toString, "w" -> w.toString),
-      statsCol = Some("fph"))
+      bucketBy = Some(("fp", buckets)))
     ()
   }
 
-  /** Fast-append a new batch's fingerprints at the COMMITTED (k, w) —
-    * O(batch) winnow work, parent postings untouched. Same id-is-a-primary-
-    * key precondition as [[docShingles]], now across the table's lifetime. */
-  def appendToFingerprintIndex(newDocs: DataFrame, idCol: String,
-      textCol: String, warehouse: String, table: String = "fp_index",
-      extraProps: Map[String, String] = Map.empty): Unit = {
+  /** The batch's (id, fp) postings at the COMMITTED (k, w). */
+  private[graft] def batchFps(newDocs: DataFrame, idCol: String, textCol: String,
+      snap: graft.tables.Snapshot): DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
+    val (k, w) = (snap.properties("k").toInt, snap.properties("w").toInt)
+    graft.pipeline.TextAnalysis
+      .winnowFingerprints(newDocs, idCol, textCol, k, w)
+  }
+
+  /** Fast-append a new batch's fingerprints at the COMMITTED (k, w) —
+    * O(batch) winnow work, parent postings untouched, batch rows landing in
+    * their bucket files. Same id-is-a-primary-key precondition as
+    * [[docShingles]], now across the table's lifetime. `compactOver` /
+    * `expireKeep` bound file and snapshot growth over long append chains
+    * (see [[maintain]]). */
+  def appendToFingerprintIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, warehouse: String, table: String = "fp_index",
+      extraProps: Map[String, String] = Map.empty,
+      compactOver: Int = 0, expireKeep: Int = 0): Unit = {
+    val spark = newDocs.sparkSession
     val cat = new graft.tables.IcebergLite(warehouse)
     val snap = cat.currentSnapshot(table).getOrElse(
       throw graft.tables.NoSuchTable(
         s"no committed $table under $warehouse — buildFingerprintIndex first"))
-    val (k, w) = (snap.properties("k").toInt, snap.properties("w").toInt)
-    val fps = graft.pipeline.TextAnalysis
-      .winnowFingerprints(newDocs, idCol, textCol, k, w)
-      .withColumn("fph", xxhash64($"fp"))
-      .repartitionByRange(2, $"fph")
     val inherited = snap.properties - "appendedRows"
-    cat.append(fps, table, inherited ++ extraProps, statsCol = Some("fph"))
-    ()
+    cat.append(batchFps(newDocs, idCol, textCol, snap), table,
+      inherited ++ extraProps)
+    maintain(spark, cat, table, compactOver, expireKeep)
   }
 
   /**
-   * Incremental shared-passage pairs: appends `newDocs` to the committed
-   * fingerprint index, then returns EXACTLY the [[winnowPairs]] rows that
-   * involve at least one new document — (a, b, shared ≥ minShared) — so
+   * Incremental shared-passage pairs: returns EXACTLY the [[winnowPairs]]
+   * rows that involve at least one new document — (a, b, shared ≥
+   * minShared) — and appends `newDocs` to the committed fingerprint index,
+   * so
    *
    *   winnowPairs(old) ∪ winnowPairsIncremental(new)  ==  winnowPairs(all)
    *
@@ -384,47 +415,62 @@ object Dedup {
    * exactly in PipelineSpec, and end-to-end as the `d_passages_incr`
    * oracle). Work is the new batch's postings joined against old + new —
    * O(|new fps| × postings-per-fp) — the old×old quadrant is NEVER
-   * recomputed. The `maxPostings` stop cut, when enabled, is computed over
-   * the FULL post-append postings so its decisions match a from-scratch
-   * [[winnowPairs]] over the union.
+   * recomputed, and the corpus side arrives through [[
+   * graft.tables.IcebergLite.readBucketed]]: pre-partitioned on `fp`, so
+   * the join shuffles ONLY the batch (asserted in ScalePlanSpec). The
+   * result is MATERIALIZED before the append lands — the committed state
+   * the join read is strictly pre-batch, which is what makes
+   * compute-then-append safe (a crash mid-call leaves the index without
+   * the batch and the caller simply retries).
+   *
+   * The `maxPostings` stop cut, when enabled, counts over the full
+   * post-append postings restricted to the batch's fingerprints (complete
+   * because restriction is an exact equi-join, not pruning), matching a
+   * from-scratch [[winnowPairs]] over the union.
    */
   def winnowPairsIncremental(newDocs: DataFrame, idCol: String,
       textCol: String, warehouse: String, table: String = "fp_index",
-      minShared: Long = 2L, maxPostings: Long = 0L): DataFrame = {
+      minShared: Long = 2L, maxPostings: Long = 0L,
+      compactOver: Int = 0, expireKeep: Int = 0): DataFrame = {
     val spark = newDocs.sparkSession
-    import spark.implicits._
-    appendToFingerprintIndex(newDocs, idCol, textCol, warehouse, table)
     val cat = new graft.tables.IcebergLite(warehouse)
-    val snap = cat.currentSnapshot(table).get
-    val fresh0 = cat.readAppended(spark, table)
-    // the old side only matters where it shares a fingerprint with the
-    // batch: prune its files by the batch's fph set (bounded by the batch's
-    // distinct fingerprints — collected driver-side while that stays small;
-    // a conservative full read beyond that, the join is still exact either
-    // way because it keys on the fp STRING, never the hash)
-    val old0 =
-      if (snap.parentId < 0) fresh0.where(lit(false))
-      else {
-        val freshCount = fresh0.select($"fph").distinct().count()
-        if (freshCount <= 2000000L) {
-          val probe = fresh0.select($"fph").distinct().as[Long].collect().toSet
-          cat.readPruned(spark, table, probe, snap.parentId)
-        } else cat.read(spark, table, snap.parentId)
-      }
+    val snap = cat.currentSnapshot(table).getOrElse(
+      throw graft.tables.NoSuchTable(
+        s"no committed $table under $warehouse — buildFingerprintIndex first"))
+    val fresh0 = batchFps(newDocs, idCol, textCol, snap).persist()
+    val out = winnowIncrPlan(cat, table, fresh0, minShared, maxPostings)
+      .localCheckpoint(true) // materialize BEFORE the append mutates the table
+    cat.append(fresh0, table, snap.properties - "appendedRows")
+    fresh0.unpersist()
+    maintain(spark, cat, table, compactOver, expireKeep)
+    out
+  }
+
+  /** The LAZY incremental-pair plan over an already-computed batch postings
+    * frame and the committed corpus state — the seam plan audits and the
+    * Exchange-placement spec read ([[winnowPairsIncremental]] materializes
+    * it, then appends). */
+  private[graft] def winnowIncrPlan(cat: graft.tables.IcebergLite,
+      table: String, fresh0: DataFrame, minShared: Long,
+      maxPostings: Long): DataFrame = {
+    val spark = fresh0.sparkSession
+    import spark.implicits._
+    val old0 = cat.readBucketed(spark, table)
     val (fresh, old) =
       if (maxPostings > 0) {
         // the cut decision is only ever consulted for fingerprints the
-        // batch carries (candidates require a shared fp with the batch), so
-        // count postings for exactly those fps — NOT a full-corpus groupBy
-        // per call. Counts are complete because the pruned old read keeps
-        // every file that can contain a probed fph (conservative pruning),
-        // hence every old posting of every batch fp.
-        val freshFps = fresh0.select($"fp").distinct()
-        val pc = old0.select($"fp").union(fresh0.select($"fp"))
-          .join(freshFps, "fp")
+        // batch carries (candidates require a shared fp with the batch):
+        // restrict the corpus to those first — an `fp` equi-join the
+        // bucketed layout runs without a corpus-side Exchange — then count
+        // postings over restricted-old ∪ batch. Every downstream join keys
+        // on `fp` too, so the corpus side is shuffled exactly zero times
+        // per increment.
+        val freshKeys = fresh0.select($"fp").distinct()
+        val oldB = old0.select($"id", $"fp").join(freshKeys, "fp")
+        val pc = oldB.select($"fp").union(fresh0.select($"fp"))
           .groupBy($"fp").agg(count(lit(1)).as("pc"))
           .filter($"pc" <= maxPostings).select($"fp")
-        (fresh0.join(pc, "fp"), old0.join(pc, "fp"))
+        (fresh0.join(pc, "fp"), oldB.join(pc, "fp"))
       } else (fresh0, old0)
     // new×old (sides disjoint — no orientation dup) plus new×new (a < b):
     // every ≥1-new pair appears exactly once per shared fingerprint
@@ -440,98 +486,128 @@ object Dedup {
       .filter($"shared" >= minShared)
   }
 
-  /** Commit a corpus's word-shingle postings (id, shingle, sh=xxhash64) +
-    * the `<table>_sizes` sidecar (id, sz — distinct shingles per doc,
-    * stats on id) — the committed substrate for
-    * [[jaccardPairsIncremental]]; `n` recorded in the snapshot properties.
-    * Same layout discipline as [[buildFingerprintIndex]]: joins key on the
-    * shingle STRING, the integral hash only drives range clustering and
-    * manifest file stats. */
+  /** Commit a corpus's word-shingle postings (id, shingle) + the
+    * `<table>_sizes` sidecar (id, sz — distinct shingles per doc) — the
+    * committed substrate for [[jaccardPairsIncremental]]; `n` recorded in
+    * the snapshot properties. Same layout discipline as
+    * [[buildFingerprintIndex]] (bucket column == join key, exactly):
+    * postings BUCKETED on `shingle` so batch-vs-corpus joins shuffle only
+    * the batch; the sizes sidecar bucketed on `id` for the same reason
+    * (the verify step joins candidate endpoints against it). */
   def buildShingleIndex(docs: DataFrame, idCol: String, textCol: String,
       warehouse: String, table: String = "shingle_index",
-      n: Int = 3): Unit = {
+      n: Int = 3, buckets: Int = 16): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ds = docShingles(docs, idCol, textCol, n)
-      .withColumn("sh", xxhash64($"shingle"))
-      .repartitionByRange(16, $"sh")
     val cat = new graft.tables.IcebergLite(warehouse)
     val props = Map("n" -> n.toString)
-    cat.commit(ds, table, props, statsCol = Some("sh"))
+    cat.commit(ds, table, props, bucketBy = Some(("shingle", buckets)))
     val sizes = cat.read(spark, table).groupBy($"id")
       .agg(count(lit(1)).as("sz"))
-      .repartitionByRange(8, $"id")
-    cat.commit(sizes, s"${table}_sizes", props, statsCol = Some("id"))
+    cat.commit(sizes, s"${table}_sizes", props,
+      bucketBy = Some(("id", math.max(2, buckets / 2))))
+    ()
+  }
+
+  /** The batch's (id, shingle) postings at the committed `n`. */
+  private[graft] def batchShingles(newDocs: DataFrame, idCol: String, textCol: String,
+      snap: graft.tables.Snapshot): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    docShingles(newDocs, idCol, textCol, snap.properties("n").toInt)
+  }
+
+  /** Append a batch's pre-computed postings + derived sizes (shared by the
+    * public append and the incremental pair path, which has the postings in
+    * hand already). */
+  private def appendShingleRows(cat: graft.tables.IcebergLite, ds: DataFrame,
+      table: String, snapProps: Map[String, String],
+      extraProps: Map[String, String]): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    cat.append(ds, table, snapProps - "appendedRows" ++ extraProps)
+    val newSizes = ds.groupBy($"id").agg(count(lit(1)).as("sz"))
+    val szProps = cat.currentSnapshot(s"${table}_sizes")
+      .map(_.properties - "appendedRows").getOrElse(Map.empty)
+    cat.append(newSizes, s"${table}_sizes", szProps)
     ()
   }
 
   /** Fast-append a new batch's shingle postings + sizes at the committed
-    * `n` — O(batch), parent postings untouched. */
+    * `n` — O(batch), parent postings untouched. `compactOver`/`expireKeep`
+    * bound file and snapshot growth over long append chains (the sizes
+    * sidecar is maintained at the same cadence). */
   def appendToShingleIndex(newDocs: DataFrame, idCol: String, textCol: String,
       warehouse: String, table: String = "shingle_index",
-      extraProps: Map[String, String] = Map.empty): Unit = {
+      extraProps: Map[String, String] = Map.empty,
+      compactOver: Int = 0, expireKeep: Int = 0): Unit = {
     val spark = newDocs.sparkSession
-    import spark.implicits._
     val cat = new graft.tables.IcebergLite(warehouse)
     val snap = cat.currentSnapshot(table).getOrElse(
       throw graft.tables.NoSuchTable(
         s"no committed $table under $warehouse — buildShingleIndex first"))
-    val n = snap.properties("n").toInt
-    val ds = docShingles(newDocs, idCol, textCol, n)
-      .withColumn("sh", xxhash64($"shingle"))
-      .repartitionByRange(2, $"sh")
-    val inherited = snap.properties - "appendedRows"
-    cat.append(ds, table, inherited ++ extraProps, statsCol = Some("sh"))
-    val newSizes = cat.readAppended(spark, table).groupBy($"id")
-      .agg(count(lit(1)).as("sz")).repartitionByRange(2, $"id")
-    val szProps = cat.currentSnapshot(s"${table}_sizes")
-      .map(_.properties - "appendedRows").getOrElse(Map.empty)
-    cat.append(newSizes, s"${table}_sizes", szProps, statsCol = Some("id"))
-    ()
+    appendShingleRows(cat, batchShingles(newDocs, idCol, textCol, snap),
+      table, snap.properties, extraProps)
+    maintain(spark, cat, table, compactOver, expireKeep)
+    maintain(spark, cat, s"${table}_sizes", compactOver, expireKeep)
   }
 
   /**
    * Incremental n-gram Jaccard pairs — [[winnowPairsIncremental]]'s twin
-   * for the ladder's second pillar: appends `newDocs` to the committed
-   * shingle index, then returns EXACTLY the [[jaccardPairs]] rows that
-   * involve at least one new document, so
+   * for the ladder's second pillar: returns EXACTLY the [[jaccardPairs]]
+   * rows that involve at least one new document and appends `newDocs` to
+   * the committed shingle index, so
    *
    *   jaccardPairs(old) ∪ jaccardPairsIncremental(new) == jaccardPairs(all)
    *
    * (disjoint by construction; unit-asserted, and driver-gated end-to-end
    * as the `d_jaccard_incr` oracle). Candidate work is new-vs-all — the
-   * old×old quadrant is never recomputed — and intersection/union sizes
-   * come from the committed sizes sidecar, not a corpus rescan. The
-   * `maxPostings` cut, when enabled, counts over the full post-append
-   * postings restricted to the batch's shingles (complete by conservative
-   * pruning), matching a from-scratch run over the union.
+   * old×old quadrant is never recomputed — with the corpus side arriving
+   * bucket-partitioned on `sh` (no corpus-side Exchange; asserted in
+   * ScalePlanSpec). Union sizes come from the committed sizes sidecar for
+   * old docs (bucketed on id) and from the batch's own postings for new
+   * docs — never a corpus rescan; result materialized before the append
+   * lands (see [[winnowPairsIncremental]] for why that ordering is the
+   * safe one). The `maxPostings` cut, when enabled, counts over the full
+   * post-append postings restricted to the batch's shingles, matching a
+   * from-scratch run over the union.
    */
   def jaccardPairsIncremental(newDocs: DataFrame, idCol: String,
       textCol: String, warehouse: String, table: String = "shingle_index",
-      threshold: Double = 0.8, maxPostings: Long = 0L): DataFrame = {
+      threshold: Double = 0.8, maxPostings: Long = 0L,
+      compactOver: Int = 0, expireKeep: Int = 0): DataFrame = {
     val spark = newDocs.sparkSession
-    import spark.implicits._
-    appendToShingleIndex(newDocs, idCol, textCol, warehouse, table)
     val cat = new graft.tables.IcebergLite(warehouse)
-    val snap = cat.currentSnapshot(table).get
-    val fresh0 = cat.readAppended(spark, table)
-    val old0 =
-      if (snap.parentId < 0) fresh0.where(lit(false))
-      else {
-        val freshCount = fresh0.select($"sh").distinct().count()
-        if (freshCount <= 2000000L) {
-          val probe = fresh0.select($"sh").distinct().as[Long].collect().toSet
-          cat.readPruned(spark, table, probe, snap.parentId)
-        } else cat.read(spark, table, snap.parentId)
-      }
+    val snap = cat.currentSnapshot(table).getOrElse(
+      throw graft.tables.NoSuchTable(
+        s"no committed $table under $warehouse — buildShingleIndex first"))
+    val fresh0 = batchShingles(newDocs, idCol, textCol, snap).persist()
+    val out = jaccardIncrPlan(cat, table, fresh0, threshold, maxPostings)
+      .localCheckpoint(true) // materialize BEFORE the append mutates the table
+    appendShingleRows(cat, fresh0, table, snap.properties, Map.empty)
+    fresh0.unpersist()
+    maintain(spark, cat, table, compactOver, expireKeep)
+    maintain(spark, cat, s"${table}_sizes", compactOver, expireKeep)
+    out
+  }
+
+  /** The LAZY incremental-Jaccard plan — [[winnowIncrPlan]]'s twin seam for
+    * plan audits and the Exchange-placement spec. */
+  private[graft] def jaccardIncrPlan(cat: graft.tables.IcebergLite,
+      table: String, fresh0: DataFrame, threshold: Double,
+      maxPostings: Long): DataFrame = {
+    val spark = fresh0.sparkSession
+    import spark.implicits._
+    val old0 = cat.readBucketed(spark, table)
     val (fresh, old) =
       if (maxPostings > 0) {
-        val freshSh = fresh0.select($"shingle").distinct()
-        val pc = old0.select($"shingle").union(fresh0.select($"shingle"))
-          .join(freshSh, "shingle")
+        val freshKeys = fresh0.select($"shingle").distinct()
+        val oldB = old0.select($"id", $"shingle").join(freshKeys, "shingle")
+        val pc = oldB.select($"shingle").union(fresh0.select($"shingle"))
           .groupBy($"shingle").agg(count(lit(1)).as("pc"))
           .filter($"pc" <= maxPostings).select($"shingle")
-        (fresh0.join(pc, "shingle"), old0.join(pc, "shingle"))
+        (fresh0.join(pc, "shingle"), oldB.join(pc, "shingle"))
       } else (fresh0, old0)
     val newOld = fresh.select($"id".as("x"), $"shingle")
       .join(old.select($"id".as("y"), $"shingle"), "shingle")
@@ -542,10 +618,18 @@ object Dedup {
       .select($"a", $"b")
     val common = newOld.union(newNew)
       .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
-    val sizes = cat.read(spark, s"${table}_sizes")
+    // sizes: committed sidecar covers old docs (bucketed on id — no corpus
+    // shuffle), the batch's own postings cover new docs; ids are a primary
+    // key across the table's lifetime, so exactly one side matches
+    val szOld = cat.readBucketed(spark, s"${table}_sizes")
+    val szNew = fresh0.groupBy($"id").agg(count(lit(1)).as("szn"))
     common
-      .join(sizes.select($"id".as("a"), $"sz".as("sza")), "a")
-      .join(sizes.select($"id".as("b"), $"sz".as("szb")), "b")
+      .join(szOld.select($"id".as("a"), $"sz".as("szaO")), Seq("a"), "left")
+      .join(szNew.select($"id".as("a"), $"szn".as("szaN")), Seq("a"), "left")
+      .join(szOld.select($"id".as("b"), $"sz".as("szbO")), Seq("b"), "left")
+      .join(szNew.select($"id".as("b"), $"szn".as("szbN")), Seq("b"), "left")
+      .withColumn("sza", coalesce($"szaN", $"szaO"))
+      .withColumn("szb", coalesce($"szbN", $"szbO"))
       .filter($"common".cast("double") /
         ($"sza" + $"szb" - $"common").cast("double") >= threshold)
       .select($"a", $"b")

@@ -55,19 +55,13 @@ class IcebergLite(rootDir: String) {
   private def dataDir(table: String, sid: Long): Path =
     tableDir(table).resolve("data").resolve(s"s$sid")
 
-  /** Write `df`'s data files for snapshot `sid`; returns (relative file
-    * paths, per-file row counts, per-file (min, max) of `statsCol` if set) —
-    * all read from the parquet FOOTERS: metadata-only, no scan jobs. */
-  private def writeData(df: DataFrame, table: String, sid: Long,
-      statsCol: Option[String] = None)
-      : (Seq[String], Map[Int, Long], Map[Int, (Long, Long)]) = {
-    val dd = dataDir(table, sid)
-    Files.createDirectories(dd.getParent)
-    df.write.mode("overwrite").parquet(dd.toString)
-    val files = Files.list(dd).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => tableDir(table).relativize(p).toString).toSeq.sorted
-    val conf = df.sparkSession.sessionState.newHadoopConf()
+  /** Per-file (row count, optional statsCol (min, max)) — all read from the
+    * parquet FOOTERS: metadata-only, no scan jobs. `files` are
+    * tableDir-relative; indices in the returned maps are positions in it. */
+  private def footerMeta(spark: org.apache.spark.sql.SparkSession, table: String,
+      files: Seq[String], statsCol: Option[String])
+      : (Map[Int, Long], Map[Int, (Long, Long)]) = {
+    val conf = spark.sessionState.newHadoopConf()
     val perFile = files.zipWithIndex.map { case (f, i) =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -92,21 +86,173 @@ class IcebergLite(rootDir: String) {
         (rows, range)
       } finally reader.close()
     }
-    (files, perFile.map(_._1).toMap, perFile.flatMap(_._2).toMap)
+    (perFile.map(_._1).toMap, perFile.flatMap(_._2).toMap)
+  }
+
+  /** Write `df`'s data files for snapshot `sid`; returns (relative file
+    * paths, per-file row counts, per-file (min, max) of `statsCol` if set). */
+  private def writeData(df: DataFrame, table: String, sid: Long,
+      statsCol: Option[String] = None)
+      : (Seq[String], Map[Int, Long], Map[Int, (Long, Long)]) = {
+    val dd = dataDir(table, sid)
+    Files.createDirectories(dd.getParent)
+    df.write.mode("overwrite").parquet(dd.toString)
+    val files = Files.list(dd).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => tableDir(table).relativize(p).toString).toSeq.sorted
+    val (rows, stats) = footerMeta(df.sparkSession, table, files, statsCol)
+    (files, rows, stats)
+  }
+
+  // --------------------------------------------------------------------------
+  // Bucketed layout: Spark-native co-location for the committed table
+  // --------------------------------------------------------------------------
+
+  /** Parquet file names (not paths) directly under `dir`. */
+  private def listParquet(dir: Path): Set[String] =
+    if (!Files.exists(dir)) Set.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+
+  /** (bucketCol, bucketCount, bucketDir) when `snap` is a bucketed-layout
+    * snapshot. */
+  private def bucketSpecOf(snap: Snapshot): Option[(String, Int, String)] =
+    for {
+      c <- snap.properties.get("bucketCol")
+      n <- snap.properties.get("bucketCount")
+      d <- snap.properties.get("bucketDir")
+    } yield (c, n.toInt, d)
+
+  /** Session-catalog identifier for this warehouse+table's bucketed layout —
+    * the warehouse path is hashed in so two warehouses (e.g. two test temp
+    * dirs) can hold a table of the same name without a catalog collision. */
+  def catalogName(table: String): String = {
+    val abs = Paths.get(rootDir).toAbsolutePath.normalize.toString
+    val h = scala.util.hashing.MurmurHash3.stringHash(abs + "#" + table)
+    f"graft_bk_${h & 0xFFFFFFFFL}%08x_" + table.replaceAll("[^A-Za-z0-9_]", "_")
+  }
+
+  /** Make the session catalog's entry for a bucketed table match the
+    * snapshot's layout (a FRESH session has no entry for an on-disk
+    * warehouse; a stale one can point at a superseded location). Creation is
+    * plain DDL over the existing bucket files — Spark resolves each file's
+    * bucket id from the writer's `_NNNNN` name suffix, so registering over
+    * data written by [[commit]]/[[append]] is exact. */
+  private def ensureCatalog(spark: org.apache.spark.sql.SparkSession,
+      table: String, snap: Snapshot): Unit = {
+    val (bcol, n, dirRel) = bucketSpecOf(snap).getOrElse(
+      throw new IllegalStateException(s"$table is not a bucketed table"))
+    val cn = catalogName(table)
+    val dir = tableDir(table).resolve(dirRel).toAbsolutePath.normalize
+    val ok = spark.catalog.tableExists(cn) && {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(cn))
+      Paths.get(meta.location).toAbsolutePath.normalize == dir
+    }
+    if (!ok) {
+      spark.sql(s"DROP TABLE IF EXISTS `$cn`")
+      val sample = snap.files.headOption.getOrElse(
+        throw new IllegalStateException(
+          s"bucketed table $table has no data files to derive a schema from"))
+      val schemaDdl = spark.read
+        .parquet(tableDir(table).resolve(sample).toString).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE `$cn` ($schemaDdl) USING PARQUET
+           |CLUSTERED BY (`$bcol`) SORTED BY (`$bcol`) INTO $n BUCKETS
+           |LOCATION '${dir.toString}'""".stripMargin)
+    }
+  }
+
+  /** Delete data files under the bucket dir that `snap` does not list —
+    * leftovers of a write that crashed before its manifest commit (the
+    * bucketed layout shares ONE directory across appends, so, unlike the
+    * per-snapshot dirs, an uncommitted write is not isolated by pathing).
+    * Run before each append; Iceberg's orphan-file cleanup, scoped. */
+  private def cleanOrphans(table: String, dirRel: String, snap: Snapshot): Unit = {
+    val dir = tableDir(table).resolve(dirRel)
+    val listed = snap.files.toSet
+    listParquet(dir).foreach { f =>
+      if (!listed.contains(s"$dirRel/$f")) Files.deleteIfExists(dir.resolve(f))
+    }
+  }
+
+  /** Write `df` bucketed into `<table>/<dirRel>` through the catalog table
+    * (Spark's bucketed writer names files with the bucket-id suffix the
+    * scanner keys on). The frame is pre-repartitioned by the bucket
+    * expression — HashPartitioning and the writer's bucket-id formula are
+    * the same murmur3-pmod, so each task holds exactly one bucket and an
+    * append adds at most `n` files. Returns (relative new files, per-file
+    * rows). */
+  private def writeBucketed(df: DataFrame, table: String, dirRel: String,
+      overwrite: Boolean, bcol: String, n: Int): (Seq[String], Map[Int, Long]) = {
+    val dir = tableDir(table).resolve(dirRel)
+    Files.createDirectories(dir.getParent)
+    val before = listParquet(dir)
+    val writer = df
+      .repartition(n, org.apache.spark.sql.functions.col(bcol))
+      .write.bucketBy(n, bcol).sortBy(bcol)
+    if (overwrite)
+      writer.mode("overwrite").option("path", dir.toString)
+        .saveAsTable(catalogName(table))
+    else writer.mode("append").saveAsTable(catalogName(table))
+    val files = (listParquet(dir) -- before).toSeq.sorted.map(f => s"$dirRel/$f")
+    val (rows, _) = footerMeta(df.sparkSession, table, files, None)
+    (files, rows)
+  }
+
+  /** Current snapshot of a bucketed table AS the catalog table — the scan
+    * carries `HashPartitioning(bucketCol, n)`, so equi-joins and
+    * aggregations keyed on the bucket column elide their Exchange on this
+    * side entirely (the committed-index batch-vs-corpus join shape).
+    * Falls back to the manifest read (correct, just shuffleable) when the
+    * directory disagrees with the manifest — e.g. an orphan from a crashed
+    * append that no [[append]] has cleaned yet — because manifest-listed
+    * files are the only source of truth. */
+  def readBucketed(spark: SparkSession, table: String): DataFrame = {
+    val snap = currentSnapshot(table)
+      .getOrElse(throw NoSuchTable(s"table $table has no snapshots"))
+    bucketSpecOf(snap) match {
+      case None => read(spark, table)
+      case Some((_, _, dirRel)) =>
+        val dir = tableDir(table).resolve(dirRel)
+        val onDisk = listParquet(dir).map(f => s"$dirRel/$f")
+        if (snap.files.nonEmpty && onDisk == snap.files.toSet) {
+          ensureCatalog(spark, table, snap)
+          spark.table(catalogName(table))
+        } else read(spark, table)
+    }
   }
 
   /** Commit `df` as the next snapshot of `table` (full replacement — the
     * superstep-state shape). Returns the snapshot. Passing `statsCol`
     * records each data file's (min, max) for that integral column in the
-    * snapshot manifest, enabling [[readPruned]] file skipping. */
+    * snapshot manifest, enabling [[readPruned]] file skipping. Passing
+    * `bucketBy = Some((col, n))` commits the BUCKETED layout instead: data
+    * files carry Spark's bucket-id naming and the table registers in the
+    * session catalog, so [[readBucketed]] scans report
+    * `HashPartitioning(col, n)` (manifest stats don't apply — a hash
+    * column's per-file range is the whole domain; co-location IS the
+    * bucketed table's pruning story). Each commit writes a fresh
+    * `data/bucketed_s<sid>` dir; appends land in the current one. */
   def commit(df: DataFrame, table: String,
       properties: Map[String, String] = Map.empty,
-      statsCol: Option[String] = None): Snapshot = {
+      statsCol: Option[String] = None,
+      bucketBy: Option[(String, Int)] = None): Snapshot = {
     val parent = currentSnapshot(table).map(_.snapshotId).getOrElse(-1L)
     val sid = parent + 1
-    val (files, partRows, stats) = writeData(df, table, sid, statsCol)
-    val snap = Snapshot(sid, parent, files, partRows.values.sum, partRows,
-      properties ++ statsCol.map("statsCol" -> _), stats)
+    val snap = bucketBy match {
+      case Some((bcol, n)) =>
+        val dirRel = s"data/bucketed_s$sid"
+        val (files, partRows) = writeBucketed(df, table, dirRel,
+          overwrite = true, bcol, n)
+        Snapshot(sid, parent, files, partRows.values.sum, partRows,
+          properties ++ Map("bucketCol" -> bcol, "bucketCount" -> n.toString,
+            "bucketDir" -> dirRel))
+      case None =>
+        val (files, partRows, stats) = writeData(df, table, sid, statsCol)
+        Snapshot(sid, parent, files, partRows.values.sum, partRows,
+          properties ++ statsCol.map("statsCol" -> _), stats)
+    }
     writeSnapshot(table, snap)
     snap
   }
@@ -122,6 +268,29 @@ class IcebergLite(rootDir: String) {
       properties: Map[String, String] = Map.empty,
       statsCol: Option[String] = None): Snapshot = {
     val parentSnap = currentSnapshot(table)
+    // a bucketed parent makes the table bucketed for life (its bucket spec
+    // is physical layout — an append can't disagree with it): route the
+    // batch through the bucketed writer into the CURRENT bucket dir, and
+    // carry the spec forward whatever properties the caller passed
+    parentSnap.flatMap(bucketSpecOf) match {
+      case Some((bcol, n, dirRel)) =>
+        val ps = parentSnap.get
+        ensureCatalog(df.sparkSession, table, ps)
+        cleanOrphans(table, dirRel, ps)
+        val (newFiles, newPartRows) = writeBucketed(df, table, dirRel,
+          overwrite = false, bcol, n)
+        val offset = ps.files.size
+        val partRows = ps.partitionRows ++
+          newPartRows.map { case (k, v) => (k + offset) -> v }
+        val snap = Snapshot(ps.snapshotId + 1, ps.snapshotId,
+          ps.files ++ newFiles, partRows.values.sum, partRows,
+          properties ++ Map("bucketCol" -> bcol, "bucketCount" -> n.toString,
+            "bucketDir" -> dirRel,
+            "appendedRows" -> newPartRows.values.sum.toString))
+        writeSnapshot(table, snap)
+        return snap
+      case None => ()
+    }
     val parent = parentSnap.map(_.snapshotId).getOrElse(-1L)
     val sid = parent + 1
     val (newFiles, newPartRows, newStats) = writeData(df, table, sid, statsCol)
@@ -172,6 +341,28 @@ class IcebergLite(rootDir: String) {
   def compact(spark: SparkSession, table: String, targetFiles: Int = 8): Snapshot = {
     val cur = currentSnapshot(table)
       .getOrElse(throw NoSuchTable(s"table $table has no snapshots"))
+    // bucketed layout: rewrite the current snapshot into a FRESH bucket dir
+    // (one file per bucket — bucket count is the table's physical contract,
+    // so `targetFiles` doesn't apply) and swap the catalog entry there. The
+    // old dir's files stay on disk for time travel until expireSnapshots,
+    // exactly like the per-snapshot-dir layout.
+    bucketSpecOf(cur) match {
+      case Some((bcol, n, _)) =>
+        val sid = cur.snapshotId + 1
+        val dirRel = s"data/bucketed_s$sid"
+        val (files, partRows) = writeBucketed(read(spark, table), table, dirRel,
+          overwrite = true, bcol, n)
+        val snap = Snapshot(sid, cur.snapshotId, files, partRows.values.sum,
+          partRows,
+          cur.properties - "appendedRows" ++ Map(
+            "bucketCol" -> bcol, "bucketCount" -> n.toString,
+            "bucketDir" -> dirRel,
+            "compactedFromSnapshot" -> cur.snapshotId.toString,
+            "compactedFromFiles" -> cur.files.size.toString))
+        writeSnapshot(table, snap)
+        return snap
+      case None => ()
+    }
     // clamp: repartition(0) throws, and a caller-computed `threshold/4` can
     // legitimately floor to 0. A stats table compacts by RANGE on its stats
     // column — a round-robin repartition would smear every value range
@@ -275,18 +466,23 @@ class IcebergLite(rootDir: String) {
     doomed.foreach(f => Files.deleteIfExists(tableDir(table).resolve(f)))
     expired.foreach(s =>
       Files.deleteIfExists(snapDir(table).resolve(s"v${s.snapshotId}.json")))
-    // drop each expired snapshot's data/sN dir outright when no kept
-    // manifest references into it — otherwise _SUCCESS/.crc sidecars and
-    // empty directories accumulate one per expired snapshot forever
-    expired.map(_.snapshotId).distinct.foreach { sid =>
-      val rel = s"data/s$sid"
-      if (!keptFiles.exists(_.startsWith(rel + "/"))) {
-        val dir = tableDir(table).resolve(rel)
-        if (Files.exists(dir)) {
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
+    // drop any data/ subdirectory no kept manifest references into (and
+    // which isn't a kept snapshot's CURRENT bucket dir — those can be
+    // legitimately empty) — otherwise _SUCCESS/.crc sidecars and empty
+    // directories accumulate one per expired snapshot forever. Covers both
+    // the per-snapshot `data/sN` layout and superseded `data/bucketed_sN`
+    // dirs a bucketed compaction left behind.
+    val keptDirs = kept.flatMap(_.properties.get("bucketDir")).toSet
+    val dataRoot = tableDir(table).resolve("data")
+    if (Files.exists(dataRoot)) {
+      Files.list(dataRoot).iterator().asScala.filter(Files.isDirectory(_))
+        .toSeq.foreach { d =>
+          val rel = s"data/${d.getFileName}"
+          if (!keptFiles.exists(_.startsWith(rel + "/")) && !keptDirs.contains(rel)) {
+            Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          }
         }
-      }
     }
     (expired.size, doomed.size)
   }

@@ -382,6 +382,95 @@ class ScalePlanSpec extends SparkTestBase {
     assert(metas(9L).format == "png" && metas(9L).width == 64 + 16 && metas(9L).height == 64 + 4 * 16)
   }
 
+  // -------------------------------------------------------------------------
+  // Incremental dedup layout: the committed postings arrive bucketed — the
+  // batch-vs-corpus joins must shuffle ONLY the batch (the O(corpus-bytes)
+  // shuffle term the round-5 soak measured as the incremental path's
+  // dominant cost is gone BY LAYOUT, not by tuning)
+  // -------------------------------------------------------------------------
+
+  /** Violations of the corpus-side contract in `root`: every scan of the
+    * committed index (under `wh`) must be a bucketed scan, and no Shuffle/
+    * Broadcast Exchange may sit between it and the join that consumes it. */
+  private def corpusSideViolations(
+      root: org.apache.spark.sql.execution.SparkPlan, wh: String): Seq[String] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    def isCorpus(s: FileSourceScanExec): Boolean =
+      s.relation.location.rootPaths.exists(_.toString.contains(wh))
+    // exposed = subtree holds a corpus scan no join has consumed yet
+    def exposed(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case s: FileSourceScanExec =>
+        if (isCorpus(s) && !s.bucketedScan)
+          bad += s"corpus scan is not bucketed: ${s.nodeName}"
+        isCorpus(s)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.children.foreach(exposed); false
+      case e: ShuffleExchangeExec =>
+        if (e.children.map(exposed).exists(identity))
+          bad += "corpus scan shuffled before reaching its join"
+        false
+      case e: BroadcastExchangeExec =>
+        if (e.children.map(exposed).exists(identity))
+          bad += "corpus side broadcast (impossible at scale)"
+        false
+      case o => o.children.map(exposed).exists(identity)
+    }
+    exposed(root)
+    bad.toSeq
+  }
+
+  test("incremental postings joins: corpus side bucketed, never shuffled or broadcast") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val oldDocs = docs.filter($"doc_id" <= 250L)
+    val newDocs = docs.filter($"doc_id" > 250L)
+    val wh = java.nio.file.Files.createTempDirectory("graft-bkplan").toString
+    Dedup.buildShingleIndex(oldDocs, "doc_id", "text", wh, n = 3)
+    Dedup.buildFingerprintIndex(oldDocs, "doc_id", "text", wh, k = 16, w = 8)
+    val cat = new graft.tables.IcebergLite(wh)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // AQE off so the full physical tree is walkable; broadcast off so the
+      // plan under test is the big-against-big one a 100 TB corpus forces
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shBatch = Dedup.batchShingles(newDocs, "doc_id", "text",
+        cat.currentSnapshot("shingle_index").get)
+      for (cut <- Seq(0L, 64L)) {
+        val plan = Dedup.jaccardIncrPlan(cat, "shingle_index", shBatch,
+          threshold = 0.5, maxPostings = cut).queryExecution.executedPlan
+        val v = corpusSideViolations(plan, wh)
+        assert(v.isEmpty, s"jaccard maxPostings=$cut: ${v.mkString("; ")}\n$plan")
+      }
+      val fpBatch = Dedup.batchFps(newDocs, "doc_id", "text",
+        cat.currentSnapshot("fp_index").get)
+      for (cut <- Seq(0L, 64L)) {
+        val plan = Dedup.winnowIncrPlan(cat, "fp_index", fpBatch,
+          minShared = 2L, maxPostings = cut).queryExecution.executedPlan
+        val v = corpusSideViolations(plan, wh)
+        assert(v.isEmpty, s"winnow maxPostings=$cut: ${v.mkString("; ")}\n$plan")
+      }
+      // sanity: the walk actually saw corpus scans (≥ postings + sizes)
+      val probe = Dedup.jaccardIncrPlan(cat, "shingle_index", shBatch,
+        threshold = 0.5, maxPostings = 0L).queryExecution.executedPlan
+      val corpusScans = probe.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(wh)) => s
+      }
+      assert(corpusScans.size >= 3, s"expected postings + 2 sizes scans, got ${corpusScans.size}")
+      assert(corpusScans.forall(_.bucketedScan))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql(s"DROP TABLE IF EXISTS `${cat.catalogName("shingle_index")}`")
+      spark.sql(s"DROP TABLE IF EXISTS `${cat.catalogName("shingle_index_sizes")}`")
+      spark.sql(s"DROP TABLE IF EXISTS `${cat.catalogName("fp_index")}`")
+    }
+  }
+
   test("resize caps the longer side, preserves aspect, dims re-parsed from bytes") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")

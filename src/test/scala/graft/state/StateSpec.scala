@@ -138,6 +138,100 @@ class StateSpec extends SparkTestBase {
     assert(t.currentSnapshot("esc").get.properties("k") == hostile)
   }
 
+  test("IcebergLite bucketed: commit/append round-trip, catalog scan partitioning, " +
+      "fresh-session DDL re-registration") {
+    import spark.implicits._
+    val root = tmp()
+    val t = new IcebergLite(root)
+    val rows0 = (0L until 200L).map(i => (i, s"v$i"))
+    t.commit(rows0.toDF("id", "v"), "bk", Map("note" -> "b0"),
+      bucketBy = Some(("id", 4)))
+    val s1 = t.append((200L until 260L).map(i => (i, s"v$i")).toDF("id", "v"), "bk")
+    assert(s1.properties("bucketCol") == "id" && s1.properties("appendedRows") == "60")
+    // catalog scan == manifest read, and it reports the bucket partitioning
+    val catDf = t.readBucketed(spark, "bk")
+    assert(catDf.as[(Long, String)].collect().toSet ==
+      (rows0 ++ (200L until 260L).map(i => (i, s"v$i"))).toSet)
+    // append into ONE shared dir: ≤ buckets new files per batch
+    assert(s1.files.size - t.snapshots("bk").head.files.size <= 4)
+    // the join on the bucket key must not shuffle the bucketed side
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = (0L until 10L).map(i => (i * 20, i)).toDF("id", "tag")
+      val plan = t.readBucketed(spark, "bk").join(probe, "id")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"bucketed scan expected:\n$plan")
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"only the probe side may shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // fresh session simulation: drop the catalog entry; readBucketed must
+    // re-register from the manifest via DDL and still produce a bucketed scan
+    spark.sql(s"DROP TABLE IF EXISTS `${t.catalogName("bk")}`")
+    val again = t.readBucketed(spark, "bk")
+    assert(again.count() == 260)
+    assert(spark.catalog.tableExists(t.catalogName("bk")))
+    spark.sql(s"DROP TABLE IF EXISTS `${t.catalogName("bk")}`")
+  }
+
+  test("IcebergLite bucketed: orphan files from a crashed append are invisible, " +
+      "then cleaned by the next append") {
+    import spark.implicits._
+    val root = tmp()
+    val t = new IcebergLite(root)
+    t.commit((0L until 50L).toDF("id"), "bko", bucketBy = Some(("id", 2)))
+    val snap = t.currentSnapshot("bko").get
+    val dirRel = snap.properties("bucketDir")
+    // simulate a crash between data write and manifest commit: copy a real
+    // bucket file under an unlisted name
+    val dir = java.nio.file.Paths.get(root, "bko", dirRel)
+    val real = snap.files.head.split("/").last
+    java.nio.file.Files.copy(dir.resolve(real),
+      dir.resolve(real.replace("part-", "part-orphan-")))
+    // dir ≠ manifest → readBucketed falls back to the manifest read: rows exact
+    assert(t.readBucketed(spark, "bko").count() == 50)
+    // the next append cleans the orphan and restores the catalog fast path
+    t.append((50L until 60L).toDF("id"), "bko")
+    val snap2 = t.currentSnapshot("bko").get
+    val onDisk = java.nio.file.Files.list(dir).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    while (onDisk.hasNext) names += onDisk.next().getFileName.toString
+    assert(!names.exists(_.contains("orphan")))
+    assert(t.readBucketed(spark, "bko").count() == 60)
+    assert(snap2.rowCount == 60)
+    spark.sql(s"DROP TABLE IF EXISTS `${t.catalogName("bko")}`")
+  }
+
+  test("IcebergLite bucketed: compact folds append files into one per bucket; " +
+      "expire drops the superseded bucket dir") {
+    import spark.implicits._
+    val root = tmp()
+    val t = new IcebergLite(root)
+    t.commit((0L until 100L).toDF("id"), "bkc", Map("batchId" -> "0"),
+      bucketBy = Some(("id", 4)))
+    (1 to 3).foreach(i => t.append((100L * i until 100L * i + 20L).toDF("id"),
+      "bkc", Map("batchId" -> i.toString)))
+    val before = t.currentSnapshot("bkc").get
+    assert(before.files.size > 4)
+    val c = t.compact(spark, "bkc")
+    assert(c.files.size <= 4, s"expected ≤ 4 bucket files, got ${c.files.size}")
+    // logical state survives: rows, batchId guard, bucket spec
+    assert(c.properties("batchId") == "3" && c.properties("bucketCol") == "id")
+    assert(t.readBucketed(spark, "bkc").count() == 160)
+    // time travel to the pre-compaction snapshot still works until expiry
+    assert(t.read(spark, "bkc", before.snapshotId).count() == 160)
+    val (expired, _) = t.expireSnapshots("bkc", keepLast = 1)
+    assert(expired > 0)
+    // superseded bucket dir swept, current one intact
+    val dataRoot = java.nio.file.Paths.get(root, "bkc", "data")
+    val dirs = java.nio.file.Files.list(dataRoot).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    while (dirs.hasNext) names += dirs.next().getFileName.toString
+    assert(names.toSet == Set(c.properties("bucketDir").split("/").last))
+    assert(t.readBucketed(spark, "bkc").count() == 160)
+    spark.sql(s"DROP TABLE IF EXISTS `${t.catalogName("bkc")}`")
+  }
+
   test("resume: killed-after-k PageRank equals uninterrupted run byte-for-byte") {
     import spark.implicits._
     val rng = new java.util.Random(31)
