@@ -26,6 +26,25 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** One per-JVM scratch root for the queries that demonstrate committed-
+    * index operators (they must build a small warehouse somewhere), removed
+    * on JVM exit — repeated bench/verify invocations previously leaked one
+    * temp dir per call. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-entry-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+      } catch { case _: Throwable => () }
+    }))
+    p
+  }
+
+  private def scratch(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   // ---------------------------------------------------------------------------
   // Derived graph (shared by all g_* queries and their oracles)
   // ---------------------------------------------------------------------------
@@ -213,6 +232,28 @@ object SparkEntry {
     s"sigs AS (SELECT doc_id AS id, $mins FROM sh GROUP BY doc_id)"
   }
 
+  private val MinhashLshSql =
+    s"""WITH $ShinglesCte,
+       |$MinhashSigCte,
+       |cands AS (
+       |  SELECT DISTINCT s1.id AS a, s2.id AS b
+       |  FROM sigs s1 JOIN sigs s2 ON s1.id < s2.id AND (
+       |    (s1.m0 = s2.m0 AND s1.m1 = s2.m1) OR
+       |    (s1.m2 = s2.m2 AND s1.m3 = s2.m3) OR
+       |    (s1.m4 = s2.m4 AND s1.m5 = s2.m5) OR
+       |    (s1.m6 = s2.m6 AND s1.m7 = s2.m7))),
+       |common AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS DOUBLE) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS sz FROM sh GROUP BY 1),
+       |jacc AS (
+       |  SELECT c.a, c.b FROM common c
+       |  JOIN sizes sa ON c.a = sa.doc_id
+       |  JOIN sizes sb ON c.b = sb.doc_id
+       |  WHERE c.common / (sa.sz + sb.sz - c.common) >= 0.5)
+       |SELECT a, b FROM cands INTERSECT SELECT a, b FROM jacc""".stripMargin
+
   // ---------------------------------------------------------------------------
   // queries + oracles
   // ---------------------------------------------------------------------------
@@ -350,21 +391,26 @@ object SparkEntry {
         Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
     },
 
-    // warm re-canonicalization of a GROWN corpus: labels from the first
-    // half of the documents, then the rest arrive and only their pairs are
-    // fed ([[Dedup.canonicalizeWarm]] → ConnectedComponents.warmStart).
-    // Warm == cold is the operator's contract, so the ORACLE IS THE COLD
-    // CLUSTERING over everything — the same SQL as d_clusters.
+    // warm re-canonicalization of a GROWN corpus, through the FULL
+    // incremental ladder: labels + committed shingle index from the first
+    // half of the documents, then the rest arrive as a batch whose delta
+    // pairs come from the committed index (jaccardPairsIncremental —
+    // new-vs-all only, old×old never recomputed) and feed
+    // [[Dedup.canonicalizeWarm]] → ConnectedComponents.warmStart. Warm ==
+    // cold is the operator's contract, so the ORACLE IS THE COLD CLUSTERING
+    // over everything — the same SQL as d_clusters.
     "d_clusters_warm" -> { (s, dir) =>
       import s.implicits._
       val docs = tbl(s, dir, "documents")
       val half = docs.agg(max($"doc_id")).head().getAs[Number](0).longValue / 2
       val oldDocs = docs.filter($"doc_id" <= half)
+      val newDocs = docs.filter($"doc_id" > half)
+      val wh = scratch("warmidx")
+      Dedup.buildShingleIndex(oldDocs, "doc_id", "text", wh, n = 3)
       val prev = Dedup.canonicalize(oldDocs, "doc_id",
         Dedup.jaccardPairs(oldDocs, "doc_id", "text", n = 3, threshold = 0.5))
-      val delta = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
-          threshold = 0.5)
-        .filter($"a" > half || $"b" > half)
+      val delta = Dedup.jaccardPairsIncremental(newDocs, "doc_id", "text", wh,
+        threshold = 0.5)
       Dedup.canonicalizeWarm(docs, "doc_id", delta, prev)
     },
 
@@ -381,7 +427,7 @@ object SparkEntry {
       val half = docs.agg(max($"doc_id")).head().getAs[Number](0).longValue / 2
       val oldDocs = docs.filter($"doc_id" <= half)
       val newDocs = docs.filter($"doc_id" > half)
-      val wh = java.nio.file.Files.createTempDirectory("graft-shidx").toString
+      val wh = scratch("shidx")
       Dedup.buildShingleIndex(oldDocs, "doc_id", "text", wh, n = 3)
       val prev = Dedup.jaccardPairs(oldDocs, "doc_id", "text",
         n = 3, threshold = 0.5)
@@ -396,6 +442,26 @@ object SparkEntry {
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 8, bands = 4, verifyThreshold = 0.5)),
+
+    // incremental MinHash-LSH over corpus growth — the committed banded
+    // signature index (the ladder's third pillar): previous-pairs ∪
+    // incremental == from-scratch is the contract, so the oracle is
+    // d_minhash_lsh's own SQL
+    "d_minhash_incr" -> { (s, dir) =>
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val half = docs.agg(max($"doc_id")).head().getAs[Number](0).longValue / 2
+      val oldDocs = docs.filter($"doc_id" <= half)
+      val newDocs = docs.filter($"doc_id" > half)
+      val wh = scratch("mhidx")
+      Dedup.buildMinhashIndex(oldDocs, "doc_id", "text", wh,
+        n = 3, k = 8, bands = 4)
+      val prev = Dedup.minhashLshPairs(oldDocs, "doc_id", "text",
+        n = 3, k = 8, bands = 4, verifyThreshold = 0.5)
+      val incr = Dedup.minhashLshPairsIncremental(newDocs, "doc_id", "text",
+        wh, verifyThreshold = 0.5)
+      prev.union(incr)
+    },
 
     "t_tokens" -> { (s, dir) =>
       import s.implicits._
@@ -446,7 +512,7 @@ object SparkEntry {
       val half = docs.agg(max($"doc_id")).head().getAs[Number](0).longValue / 2
       val oldDocs = docs.filter($"doc_id" <= half)
       val newDocs = docs.filter($"doc_id" > half)
-      val wh = java.nio.file.Files.createTempDirectory("graft-fpidx").toString
+      val wh = scratch("fpidx")
       Dedup.buildFingerprintIndex(oldDocs, "doc_id", "text", wh,
         k = PassagesK, w = PassagesW)
       val prev = Dedup.winnowPairs(oldDocs, "doc_id", "text",
@@ -656,27 +722,11 @@ object SparkEntry {
          |$MinhashSigCte
          |SELECT * FROM sigs""".stripMargin,
 
-    "d_minhash_lsh" ->
-      s"""WITH $ShinglesCte,
-         |$MinhashSigCte,
-         |cands AS (
-         |  SELECT DISTINCT s1.id AS a, s2.id AS b
-         |  FROM sigs s1 JOIN sigs s2 ON s1.id < s2.id AND (
-         |    (s1.m0 = s2.m0 AND s1.m1 = s2.m1) OR
-         |    (s1.m2 = s2.m2 AND s1.m3 = s2.m3) OR
-         |    (s1.m4 = s2.m4 AND s1.m5 = s2.m5) OR
-         |    (s1.m6 = s2.m6 AND s1.m7 = s2.m7))),
-         |common AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS DOUBLE) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS sz FROM sh GROUP BY 1),
-         |jacc AS (
-         |  SELECT c.a, c.b FROM common c
-         |  JOIN sizes sa ON c.a = sa.doc_id
-         |  JOIN sizes sb ON c.b = sb.doc_id
-         |  WHERE c.common / (sa.sz + sb.sz - c.common) >= 0.5)
-         |SELECT a, b FROM cands INTERSECT SELECT a, b FROM jacc""".stripMargin,
+    "d_minhash_lsh" -> MinhashLshSql,
+
+    // prev ∪ incremental == from-scratch: the committed-index path's oracle
+    // is d_minhash_lsh's own from-scratch SQL
+    "d_minhash_incr" -> MinhashLshSql,
 
     "t_tokens" ->
       """SELECT doc_id,

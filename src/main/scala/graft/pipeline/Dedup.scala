@@ -706,6 +706,164 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------------
+  // Build-once / append-many: the committed MinHash-LSH index — the third
+  // pillar of the incremental dedup ladder (exact digests re-hash per batch
+  // trivially; winnow and shingle postings got committed indexes in round 5;
+  // the banded signature table had the same build-once economics and now
+  // gets the same treatment).
+  // ---------------------------------------------------------------------------
+
+  /** Banded signature buckets (id, band, key, bk) over (id, shingle)
+    * postings at the committed (k, bands): the same md5 band keys
+    * [[minhashLshPairs]] derives, plus `bk` = `band|key` — a single
+    * collision-free composite column (band is an int, key an md5 hex), so
+    * the bucket layout's bucket-column-==-join-key rule holds with one
+    * column. */
+  private def bandBuckets(ds: DataFrame, k: Int, bands: Int): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    val sigs = signaturesFromShingles(ds, k)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("key"))
+    }
+    sigs.select($"id", explode(array(bandCols: _*)).as("bs"))
+      .select($"id", $"bs.band".as("band"), $"bs.key".as("key"))
+      .withColumn("bk", concat($"band".cast("string"), lit("|"), $"key"))
+  }
+
+  /**
+   * Build the committed MinHash-LSH index: the banded signature buckets as
+   * a BUCKETED Iceberg-lite table on `bk` (candidate joins shuffle only
+   * the batch), plus the (id, shingle) postings substrate the verify pass
+   * reads — by default an owned `<table>_postings` built via
+   * [[buildShingleIndex]]; pass `postingsTable` to point at an existing
+   * committed shingle index instead (then its content must be exactly this
+   * corpus, and the caller owns keeping it appended — this operator's
+   * incremental path appends to whichever postings table the snapshot
+   * names). (n, k, bands) are recorded in the snapshot properties so
+   * appends can never disagree with the build.
+   */
+  def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      warehouse: String, table: String = "minhash_index",
+      n: Int = 3, k: Int = 8, bands: Int = 4, buckets: Int = 16,
+      postingsTable: String = ""): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val spark = docs.sparkSession
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val pt = if (postingsTable.nonEmpty) postingsTable else s"${table}_postings"
+    cat.currentSnapshot(pt) match {
+      case Some(s) =>
+        require(s.properties("n").toInt == n,
+          s"postings table $pt was built at n=${s.properties("n")}, asked n=$n")
+      case None =>
+        buildShingleIndex(docs, idCol, textCol, warehouse, pt, n, buckets)
+    }
+    val ds = cat.readBucketed(spark, pt)
+    cat.commit(bandBuckets(ds, k, bands), table,
+      Map("n" -> n.toString, "k" -> k.toString, "bands" -> bands.toString,
+        "postingsTable" -> pt),
+      bucketBy = Some(("bk", buckets)))
+    ()
+  }
+
+  /** Fast-append a new batch to the committed MinHash-LSH index — O(batch)
+    * shingle + signature work, parent buckets and postings untouched. The
+    * postings substrate named by the snapshot is appended in the same call
+    * so verify stays exact over the union. */
+  def appendToMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      warehouse: String, table: String = "minhash_index",
+      extraProps: Map[String, String] = Map.empty,
+      compactOver: Int = 0, expireKeep: Int = 0): Unit = {
+    val spark = newDocs.sparkSession
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val snap = cat.currentSnapshot(table).getOrElse(
+      throw graft.tables.NoSuchTable(
+        s"no committed $table under $warehouse — buildMinhashIndex first"))
+    val (k, bands) = (snap.properties("k").toInt, snap.properties("bands").toInt)
+    val pt = snap.properties("postingsTable")
+    val ds = batchShingles(newDocs, idCol, textCol, snap)
+    appendShingleRows(cat, ds, pt,
+      cat.currentSnapshot(pt).map(_.properties).getOrElse(Map.empty), Map.empty)
+    cat.append(bandBuckets(ds, k, bands), table,
+      snap.properties - "appendedRows" ++ extraProps)
+    maintain(spark, cat, table, compactOver, expireKeep)
+    maintain(spark, cat, pt, compactOver, expireKeep)
+    maintain(spark, cat, s"${pt}_sizes", compactOver, expireKeep)
+  }
+
+  /**
+   * Incremental MinHash-LSH near-dup pairs: returns EXACTLY the
+   * [[minhashLshPairs]] rows that involve at least one new document and
+   * appends `newDocs` to the committed index, so
+   *
+   *   minhashLshPairs(old) ∪ incremental(new) == minhashLshPairs(all)
+   *
+   * (disjoint by construction — a doc's signature depends only on its own
+   * shingles, so appends never change old docs' band keys; unit-asserted,
+   * and driver-gated end-to-end as the `d_minhash_incr` oracle, which is
+   * d_minhash_lsh's own from-scratch SQL). Candidate generation is the
+   * batch's band buckets against the committed bucket table — corpus side
+   * bucket-partitioned on `bk`, shuffling only the batch. The verify pass
+   * is candidate-restricted the structural way: candidate doc ids (small
+   * by LSH's whole premise — broadcast explicitly) semi-restrict ONE scan
+   * of the postings substrate, and every join after that is
+   * candidate-bounded. Result materialized before the append lands
+   * (compute-then-append, like the other pillars).
+   */
+  def minhashLshPairsIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, warehouse: String, table: String = "minhash_index",
+      verifyThreshold: Double = -1.0,
+      compactOver: Int = 0, expireKeep: Int = 0): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val snap = cat.currentSnapshot(table).getOrElse(
+      throw graft.tables.NoSuchTable(
+        s"no committed $table under $warehouse — buildMinhashIndex first"))
+    val (k, bands) = (snap.properties("k").toInt, snap.properties("bands").toInt)
+    val pt = snap.properties("postingsTable")
+    val ds = batchShingles(newDocs, idCol, textCol, snap).persist()
+    val newBk = bandBuckets(ds, k, bands).persist()
+    val oldBk = cat.readBucketed(spark, table)
+    val candNewOld = newBk.select($"id".as("x"), $"bk")
+      .join(oldBk.select($"id".as("y"), $"bk"), "bk")
+      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+    val candNewNew = newBk.select($"id".as("a"), $"bk")
+      .join(newBk.select($"id".as("b"), $"bk"), "bk")
+      .filter($"a" < $"b")
+      .select($"a", $"b")
+    val cand = candNewOld.union(candNewNew).distinct().persist()
+    val result =
+      if (verifyThreshold <= 0) cand
+      else {
+        val ids = broadcast(
+          cand.select($"a".as("id")).union(cand.select($"b".as("id"))).distinct())
+        val posts = cat.readBucketed(spark, pt).select($"id", $"shingle")
+          .union(ds.select($"id", $"shingle"))
+          .join(ids, "id")
+        val common = cand
+          .join(posts.select($"id".as("a"), $"shingle"), "a")
+          .join(posts.select($"id".as("b"), $"shingle"), Seq("b", "shingle"))
+          .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
+        val sizes = posts.groupBy($"id").agg(count(lit(1)).as("sz"))
+        jaccardFilter(common, sizes, verifyThreshold)
+      }
+    val out = result.localCheckpoint(true)
+    cand.unpersist()
+    appendShingleRows(cat, ds, pt,
+      cat.currentSnapshot(pt).map(_.properties).getOrElse(Map.empty), Map.empty)
+    cat.append(newBk, table, snap.properties - "appendedRows")
+    newBk.unpersist()
+    ds.unpersist()
+    maintain(spark, cat, table, compactOver, expireKeep)
+    maintain(spark, cat, pt, compactOver, expireKeep)
+    maintain(spark, cat, s"${pt}_sizes", compactOver, expireKeep)
+    out
+  }
+
+  // ---------------------------------------------------------------------------
   // SimHash (JVM hashing; driver-oracle-tested, no SQL oracle)
   // ---------------------------------------------------------------------------
 

@@ -309,6 +309,56 @@ class PipelineSpec extends SparkTestBase {
     assert(sz == wantSz)
   }
 
+  test("incremental MinHash-LSH index: prev ∪ incremental == from-scratch; composes over appends") {
+    import spark.implicits._
+    val docsDf = docs.toDF()
+    val half = docList.map(_._1).max / 2
+    val oldDocs = docsDf.filter($"doc_id" <= half)
+    val newDocs = docsDf.filter($"doc_id" > half)
+    val wh = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    Dedup.buildMinhashIndex(oldDocs, "doc_id", "text", wh, n = 3, k = 8, bands = 4)
+    val cat = new graft.tables.IcebergLite(wh)
+    assert(cat.currentSnapshot("minhash_index").get.properties("bands") == "4")
+    assert(cat.currentSnapshot("minhash_index_postings").nonEmpty,
+      "owned postings substrate must be committed")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"a", $"b").as[(Long, Long)].collect().toSet
+    // permissive threshold so cross-half pairs exist in the fixture
+    val prev = rows(Dedup.minhashLshPairs(oldDocs, "doc_id", "text",
+      n = 3, k = 8, bands = 4, verifyThreshold = 0.2))
+    val incr = rows(Dedup.minhashLshPairsIncremental(newDocs, "doc_id", "text",
+      wh, verifyThreshold = 0.2))
+    val scratch = rows(Dedup.minhashLshPairs(docsDf, "doc_id", "text",
+      n = 3, k = 8, bands = 4, verifyThreshold = 0.2))
+    assert((prev & incr).isEmpty)
+    assert((prev | incr) == scratch,
+      s"missing=${(scratch -- prev -- incr).take(3)} extra=${((prev | incr) -- scratch).take(3)}")
+    assert(incr.nonEmpty, "fixture must produce cross-half pairs")
+    // unverified (candidate-only) contract holds too, on a fresh warehouse
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-mhidx2").toString
+    Dedup.buildMinhashIndex(oldDocs, "doc_id", "text", wh2, n = 3, k = 8, bands = 4)
+    val prevC = rows(Dedup.minhashLshPairs(oldDocs, "doc_id", "text",
+      n = 3, k = 8, bands = 4))
+    val incrC = rows(Dedup.minhashLshPairsIncremental(newDocs, "doc_id", "text", wh2))
+    val scratchC = rows(Dedup.minhashLshPairs(docsDf, "doc_id", "text",
+      n = 3, k = 8, bands = 4))
+    assert((prevC | incrC) == scratchC && (prevC & incrC).isEmpty)
+    // second increment against the FIRST warehouse keeps composing: a
+    // duplicate of an indexed doc must bucket AND verify with it
+    val extra = Seq(
+      (900001L, docList.head._2),
+      (900002L, "entirely novel nonsense zebra quark flux glimmer"))
+      .toDF("doc_id", "text")
+    val incr2 = rows(Dedup.minhashLshPairsIncremental(extra, "doc_id", "text",
+      wh, verifyThreshold = 0.2))
+    val scratch2 = rows(Dedup.minhashLshPairs(
+      docsDf.select($"doc_id", $"text").union(extra), "doc_id", "text",
+      n = 3, k = 8, bands = 4, verifyThreshold = 0.2))
+    assert((prev | incr | incr2) == scratch2,
+      s"second increment broke composition: missing=${(scratch2 -- prev -- incr -- incr2).take(3)}")
+    assert(incr2.contains((docList.head._1, 900001L)))
+  }
+
   test("canonicalize small-graph union-find ≡ distributed large/small-star (both cold and warm)") {
     import spark.implicits._
     val docsDf = spark.range(60).toDF("doc_id")
