@@ -329,23 +329,6 @@ object Dedup {
   // re-fingerprints, re-pairs, or re-clusters what it already processed.
   // ---------------------------------------------------------------------------
 
-  /** Post-append housekeeping shared by the batch index-append APIs — the
-    * same knobs [[graft.streaming.IndexStream]] wires for streaming
-    * maintenance: `compactOver > 0` folds the table's data files down when
-    * the manifest exceeds that many (for a bucketed table: back to one file
-    * per bucket), `expireKeep > 0` then bounds the snapshot log. Without
-    * this a long chain of BATCH appends accumulates files and snapshots
-    * without limit — the classic small-file problem. */
-  private def maintain(spark: org.apache.spark.sql.SparkSession,
-      cat: graft.tables.IcebergLite, table: String,
-      compactOver: Int, expireKeep: Int): Unit = {
-    if (compactOver > 0 &&
-        cat.currentSnapshot(table).exists(_.files.size > compactOver)) {
-      cat.compact(spark, table, targetFiles = math.max(1, compactOver / 4))
-      if (expireKeep > 0) cat.expireSnapshots(table, keepLast = expireKeep)
-    }
-  }
-
   /** Commit a corpus's winnow-fingerprint postings (id, fp) as a BUCKETED
     * Iceberg-lite table hashed on `fp` into `buckets` files: every
     * batch-vs-corpus join in [[winnowPairsIncremental]] then reads the
@@ -400,7 +383,7 @@ object Dedup {
     val inherited = snap.properties - "appendedRows"
     cat.append(batchFps(newDocs, idCol, textCol, snap), table,
       inherited ++ extraProps)
-    maintain(spark, cat, table, compactOver, expireKeep)
+    cat.maintain(spark, table, compactOver, expireKeep)
   }
 
   /**
@@ -442,7 +425,7 @@ object Dedup {
       .localCheckpoint(true) // materialize BEFORE the append mutates the table
     cat.append(fresh0, table, snap.properties - "appendedRows")
     fresh0.unpersist()
-    maintain(spark, cat, table, compactOver, expireKeep)
+    cat.maintain(spark, table, compactOver, expireKeep)
     out
   }
 
@@ -502,10 +485,11 @@ object Dedup {
     val ds = docShingles(docs, idCol, textCol, n)
     val cat = new graft.tables.IcebergLite(warehouse)
     val props = Map("n" -> n.toString)
-    cat.commit(ds, table, props, bucketBy = Some(("shingle", buckets)))
+    val snap = cat.commit(ds, table, props, bucketBy = Some(("shingle", buckets)))
     val sizes = cat.read(spark, table).groupBy($"id")
       .agg(count(lit(1)).as("sz"))
-    cat.commit(sizes, s"${table}_sizes", props,
+    cat.commit(sizes, s"${table}_sizes",
+      props + ("syncedTo" -> snap.snapshotId.toString),
       bucketBy = Some(("id", math.max(2, buckets / 2))))
     ()
   }
@@ -518,20 +502,69 @@ object Dedup {
     docShingles(newDocs, idCol, textCol, snap.properties("n").toInt)
   }
 
-  /** Append a batch's pre-computed postings + derived sizes (shared by the
-    * public append and the incremental pair path, which has the postings in
-    * hand already). */
+  /** Append a batch's pre-computed postings, then bring the sizes sidecar
+    * level through the self-healing walk (shared by the public append and
+    * the incremental pair path, which has the postings in hand already). */
   private def appendShingleRows(cat: graft.tables.IcebergLite, ds: DataFrame,
       table: String, snapProps: Map[String, String],
       extraProps: Map[String, String]): Unit = {
-    val spark = ds.sparkSession
-    import spark.implicits._
     cat.append(ds, table, snapProps - "appendedRows" ++ extraProps)
-    val newSizes = ds.groupBy($"id").agg(count(lit(1)).as("sz"))
-    val szProps = cat.currentSnapshot(s"${table}_sizes")
-      .map(_.properties - "appendedRows").getOrElse(Map.empty)
-    cat.append(newSizes, s"${table}_sizes", szProps)
-    ()
+    healSizesSidecar(ds.sparkSession, cat, table)
+  }
+
+  /** [[Similarity.healSidecar]]'s analog for the `<table>_sizes` sidecar of
+    * a committed postings table: the postings append and the sizes append
+    * are two commits, and a crash between them would leave incremental
+    * verify reading stale union sizes for the lost batch's docs. Every
+    * sizes snapshot records `syncedTo` = the postings snapshot it covers;
+    * healing walks the postings chain from there, deriving each missed
+    * fast-append's per-doc counts from its delta files (exact because doc
+    * ids are a primary key across the table's lifetime — a doc's postings
+    * land in exactly one append). Unwalkable chains (full-replacement or
+    * compaction snapshots in the gap, expired manifests) re-derive the
+    * whole sidecar from the postings table once. */
+  private[graft] def healSizesSidecar(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.tables.IcebergLite, table: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val sizesTable = s"${table}_sizes"
+    val mainSnap = cat.currentSnapshot(table).getOrElse(return)
+    val sideSnap = cat.currentSnapshot(sizesTable).getOrElse(return)
+    val baseProps = sideSnap.properties - "appendedRows" - "syncedTo"
+    def sizesOf(postings: DataFrame): DataFrame =
+      postings.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    def recommit(): Unit = {
+      val spec = for {
+        c <- sideSnap.properties.get("bucketCol")
+        n <- sideSnap.properties.get("bucketCount")
+      } yield (c, n.toInt)
+      cat.commit(sizesOf(cat.read(spark, table)), sizesTable,
+        baseProps - "bucketCol" - "bucketCount" - "bucketDir" +
+          ("syncedTo" -> mainSnap.snapshotId.toString),
+        bucketBy = spec)
+      ()
+    }
+    sideSnap.properties.get("syncedTo").map(_.toLong) match {
+      case Some(s) if s >= mainSnap.snapshotId => ()
+      case Some(s) =>
+        val chain = cat.snapshots(table)
+          .filter(x => x.snapshotId > s && x.snapshotId <= mainSnap.snapshotId)
+          .sortBy(_.snapshotId)
+        def isCompaction(x: graft.tables.Snapshot): Boolean =
+          x.properties.contains("compactedFromSnapshot") &&
+            !x.properties.contains("appendedRows")
+        val walkable = chain.map(_.snapshotId) == (s + 1 to mainSnap.snapshotId) &&
+          chain.forall(x => x.properties.contains("appendedRows") || isCompaction(x))
+        if (walkable) {
+          def stampFor(v: Long): Long =
+            chain.filter(_.snapshotId > v).sortBy(_.snapshotId)
+              .takeWhile(isCompaction).lastOption.map(_.snapshotId).getOrElse(v)
+          chain.filterNot(isCompaction).foreach { x =>
+            cat.append(sizesOf(cat.readAppended(spark, table, x.snapshotId)),
+              sizesTable, baseProps + ("syncedTo" -> stampFor(x.snapshotId).toString))
+          }
+        } else recommit()
+      case None => recommit()
+    }
   }
 
   /** Fast-append a new batch's shingle postings + sizes at the committed
@@ -549,8 +582,8 @@ object Dedup {
         s"no committed $table under $warehouse — buildShingleIndex first"))
     appendShingleRows(cat, batchShingles(newDocs, idCol, textCol, snap),
       table, snap.properties, extraProps)
-    maintain(spark, cat, table, compactOver, expireKeep)
-    maintain(spark, cat, s"${table}_sizes", compactOver, expireKeep)
+    cat.maintain(spark, table, compactOver, expireKeep)
+    cat.maintain(spark, s"${table}_sizes", compactOver, expireKeep)
   }
 
   /**
@@ -582,13 +615,16 @@ object Dedup {
     val snap = cat.currentSnapshot(table).getOrElse(
       throw graft.tables.NoSuchTable(
         s"no committed $table under $warehouse — buildShingleIndex first"))
+    // close any postings/sizes crash gap BEFORE the verify step reads the
+    // sizes sidecar (no-op when in lockstep)
+    healSizesSidecar(spark, cat, table)
     val fresh0 = batchShingles(newDocs, idCol, textCol, snap).persist()
     val out = jaccardIncrPlan(cat, table, fresh0, threshold, maxPostings)
       .localCheckpoint(true) // materialize BEFORE the append mutates the table
     appendShingleRows(cat, fresh0, table, snap.properties, Map.empty)
     fresh0.unpersist()
-    maintain(spark, cat, table, compactOver, expireKeep)
-    maintain(spark, cat, s"${table}_sizes", compactOver, expireKeep)
+    cat.maintain(spark, table, compactOver, expireKeep)
+    cat.maintain(spark, s"${table}_sizes", compactOver, expireKeep)
     out
   }
 
@@ -788,9 +824,9 @@ object Dedup {
       cat.currentSnapshot(pt).map(_.properties).getOrElse(Map.empty), Map.empty)
     cat.append(bandBuckets(ds, k, bands), table,
       snap.properties - "appendedRows" ++ extraProps)
-    maintain(spark, cat, table, compactOver, expireKeep)
-    maintain(spark, cat, pt, compactOver, expireKeep)
-    maintain(spark, cat, s"${pt}_sizes", compactOver, expireKeep)
+    cat.maintain(spark, table, compactOver, expireKeep)
+    cat.maintain(spark, pt, compactOver, expireKeep)
+    cat.maintain(spark, s"${pt}_sizes", compactOver, expireKeep)
   }
 
   /**
@@ -857,9 +893,9 @@ object Dedup {
     cat.append(newBk, table, snap.properties - "appendedRows")
     newBk.unpersist()
     ds.unpersist()
-    maintain(spark, cat, table, compactOver, expireKeep)
-    maintain(spark, cat, pt, compactOver, expireKeep)
-    maintain(spark, cat, s"${pt}_sizes", compactOver, expireKeep)
+    cat.maintain(spark, table, compactOver, expireKeep)
+    cat.maintain(spark, pt, compactOver, expireKeep)
+    cat.maintain(spark, s"${pt}_sizes", compactOver, expireKeep)
     out
   }
 

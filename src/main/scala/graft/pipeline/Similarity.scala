@@ -535,10 +535,73 @@ object Similarity {
   private def commitIdSidecar(spark: org.apache.spark.sql.SparkSession,
       cat: graft.tables.IcebergLite, mainTable: String, idsTable: String,
       props: Map[String, String], valueCol: String = "cell"): Unit = {
+    val mainSid = cat.currentSnapshot(mainTable).get.snapshotId
     val ids = cat.read(spark, mainTable).select(col("id"), col(valueCol))
       .repartitionByRange(8, col("id"))
-    cat.commit(ids, idsTable, props, statsCol = Some("id"))
+    cat.commit(ids, idsTable, props + ("syncedTo" -> mainSid.toString),
+      statsCol = Some("id"))
     ()
+  }
+
+  /**
+   * Bring a committed index's id SIDECAR up to date with its main table —
+   * the non-atomicity repair: the main-table append and the sidecar append
+   * are two separate commits, and a crash between them leaves the sidecar
+   * lagging FOREVER under the streaming replay guard (the guard keys on the
+   * MAIN table's batchId, so the retried micro-batch is skipped and the
+   * sidecar row never lands — member-id probes then silently miss that
+   * batch's ids). Every sidecar snapshot records `syncedTo` = the main
+   * snapshot id it covers; healing walks the main chain from there and
+   * appends each missed fast-append's delta — O(missed deltas), normally
+   * exactly the one batch just appended. Chains that can't be walked
+   * delta-wise (a full-replacement or compaction snapshot in the gap, a
+   * pre-`syncedTo` sidecar, expired intermediate manifests) heal by one
+   * full sidecar re-commit instead. Called on every append path, and by
+   * the streaming sink's replay-skip branch (the exact crash window the
+   * guard otherwise seals shut).
+   */
+  private[graft] def healSidecar(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.tables.IcebergLite, mainTable: String, idsTable: String,
+      valueCol: String = "cell"): Unit = {
+    val mainSnap = cat.currentSnapshot(mainTable).getOrElse(return)
+    val sideSnap = cat.currentSnapshot(idsTable).getOrElse(return)
+    val syncedTo = sideSnap.properties.get("syncedTo").map(_.toLong)
+    val baseProps = sideSnap.properties - "appendedRows" - "syncedTo"
+    syncedTo match {
+      case Some(s) if s >= mainSnap.snapshotId => () // in lockstep
+      case Some(s) =>
+        val chain = cat.snapshots(mainTable)
+          .filter(x => x.snapshotId > s && x.snapshotId <= mainSnap.snapshotId)
+          .sortBy(_.snapshotId)
+        def isCompaction(x: graft.tables.Snapshot): Boolean =
+          x.properties.contains("compactedFromSnapshot") &&
+            !x.properties.contains("appendedRows")
+        // walkable = contiguous chain of fast appends and compactions
+        // (compactions rewrite layout, not logical rows — skipped, but a
+        // trailing one still advances the recorded high-water mark);
+        // anything else (full-replacement commit, expired gap) heals by one
+        // full sidecar re-commit
+        val walkable = chain.map(_.snapshotId) == (s + 1 to mainSnap.snapshotId) &&
+          chain.forall(x => x.properties.contains("appendedRows") || isCompaction(x))
+        if (walkable) {
+          // stamp each delta with the furthest snapshot it brings the
+          // sidecar level with (its own id, plus any compactions right after)
+          def stampFor(v: Long): Long =
+            chain.filter(_.snapshotId > v).sortBy(_.snapshotId)
+              .takeWhile(isCompaction).lastOption.map(_.snapshotId).getOrElse(v)
+          chain.filterNot(isCompaction).foreach { x =>
+            val delta = cat.readAppended(spark, mainTable, x.snapshotId)
+              .select(col("id"), col(valueCol))
+              .repartitionByRange(2, col("id"))
+            cat.append(delta, idsTable,
+              baseProps + ("syncedTo" -> stampFor(x.snapshotId).toString),
+              statsCol = Some("id"))
+          }
+        } else commitIdSidecar(spark, cat, mainTable, idsTable, baseProps, valueCol)
+      case None =>
+        // legacy sidecar (no syncedTo recorded): one full re-commit
+        commitIdSidecar(spark, cat, mainTable, idsTable, baseProps, valueCol)
+    }
   }
 
   /**
@@ -554,23 +617,29 @@ object Similarity {
    */
   def appendToIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
       warehouse: String, table: String = "ann_ivf",
-      extraProps: Map[String, String] = Map.empty): Unit = {
+      extraProps: Map[String, String] = Map.empty,
+      compactOver: Int = 0, expireKeep: Int = 0): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val cat = new graft.tables.IcebergLite(warehouse)
     val cs = cat.read(spark, s"${table}_centroids")
       .select($"cell", $"cvec")
       .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
+    // the batch's assignment feeds BOTH the committed write and the drift
+    // aggregate — computed once and cached (the nearest-cell kernel is the
+    // append's dominant CPU term; running it twice doubled the append)
     val cells = assignCells(vectors, idCol, vecCol, cs)
       .repartitionByRange(math.max(1, math.min(cs.size, 8)), $"cell")
+      .persist()
     // DRIFT SIGNAL: the quantizer is frozen by design, so tell the operator
     // WHEN it stops fitting — the fraction of appended rows whose best-cell
     // similarity falls below their cell's build-time mean
     // (`cellMeanSim` on the centroid snapshot). ~0.5 is the healthy
     // same-distribution reading (half of any population sits below its
     // mean); a drifted batch reads near 1.0 and the operator should plan a
-    // rebuild. O(batch) work, recorded as `driftFraction` on the append
-    // snapshot; indexes built before the reference existed skip it.
+    // rebuild ([[maybeRebuildIvfIndex]] is the wired consumer). O(batch)
+    // work, recorded as `driftFraction` on the append snapshot; indexes
+    // built before the reference existed skip it.
     val driftProp: Map[String, String] =
       cat.currentSnapshot(s"${table}_centroids")
         .flatMap(_.properties.get("cellMeanSim")).map { ref =>
@@ -578,7 +647,7 @@ object Similarity {
             val Array(c, m) = kv.split(":", 2); (c.toInt, m.toDouble) }.toSeq
           val meansDf = broadcast(means.toDF("cell", "m"))
           val csDf = broadcast(cs.toDF("cell", "cvec"))
-          val row = assignCells(vectors, idCol, vecCol, cs)
+          val row = cells
             .join(csDf, "cell").join(meansDf, "cell")
             .agg(avg((round(cosine($"vec", $"cvec"), 6) < $"m").cast("int"))
               .as("frac"))
@@ -594,17 +663,67 @@ object Similarity {
       .map(_.properties - "appendedRows" - "driftFraction").getOrElse(Map.empty)
     cat.append(cells, s"${table}_cells", inherited ++ driftProp ++ extraProps,
       statsCol = Some("cell"))
-    // keep the id sidecar in lockstep: append the DELTA rows only (O(batch)
-    // via readAppended, never a table rewrite). An index built before the
-    // sidecar existed simply has none — probes fall back to the full scan.
-    if (cat.currentSnapshot(s"${table}_ids").nonEmpty) {
-      val delta = cat.readAppended(spark, s"${table}_cells")
-        .select($"id", $"cell").repartitionByRange(2, $"id")
-      val idProps = cat.currentSnapshot(s"${table}_ids")
-        .map(_.properties - "appendedRows").getOrElse(Map.empty)
-      cat.append(delta, s"${table}_ids", idProps, statsCol = Some("id"))
-    }
+    cells.unpersist()
+    // keep the id sidecar in lockstep via the self-healing walk: it appends
+    // this batch's delta AND any delta a previous crash left missing — see
+    // [[healSidecar]]. An index built before the sidecar existed simply has
+    // none; probes fall back to the full scan.
+    healSidecar(spark, cat, s"${table}_cells", s"${table}_ids")
+    // optional housekeeping for long BATCH append chains — the same knobs
+    // [[graft.streaming.IndexStream]] wires for streaming maintenance
+    cat.maintain(spark, s"${table}_cells", compactOver, expireKeep)
+    cat.maintain(spark, s"${table}_ids", compactOver, expireKeep)
     ()
+  }
+
+  /**
+   * The drift signal's CONSUMER: retrain-and-swap the committed IVF index
+   * from its own current contents when the last append's recorded
+   * `driftFraction` exceeds `driftThreshold` (or unconditionally via
+   * [[rebuildIvfIndex]]). Returns true when a rebuild ran. The healthy
+   * same-distribution reading is ~0.5 (half of any population sits below
+   * its cell's mean); 0.8 says most of the batch landed below the build-
+   * time fit and the frozen quantizer no longer describes the data.
+   */
+  def maybeRebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      warehouse: String, table: String = "ann_ivf",
+      driftThreshold: Double = 0.8): Boolean = {
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val drifted = cat.currentSnapshot(s"${table}_cells")
+      .flatMap(_.properties.get("driftFraction")).exists(_.toDouble > driftThreshold)
+    if (drifted) rebuildIvfIndex(spark, warehouse, table)
+    drifted
+  }
+
+  /**
+   * Rebuild the committed IVF index from its own current contents: re-read
+   * every (id, vec) from the cells table, RETRAIN the quantizer at the
+   * committed (nlist, seed, lloydIters), re-assign, and commit cells /
+   * centroids / id sidecar as full-replacement snapshots — the standard
+   * answer once [[appendToIvfIndex]]'s driftFraction says the frozen
+   * quantizer stopped fitting. Each table's swap is snapshot-atomic
+   * (readers see the old index or the new one, never a mix of files), and
+   * the new centroid snapshot carries a fresh `cellMeanSim` reference so
+   * the drift signal measures against the CURRENT distribution. Training
+   * is bit-deterministic, so a rebuild over unchanged data reproduces the
+   * index exactly (probe-identical — asserted in AnnIndexSpec); over
+   * drifted data it restores the recall the stale quantizer was losing.
+   */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      warehouse: String, table: String = "ann_ivf"): Unit = {
+    import spark.implicits._
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val snap = cat.currentSnapshot(s"${table}_cells").getOrElse(
+      throw graft.tables.NoSuchTable(
+        s"no committed $table index under $warehouse — buildIvfIndex first"))
+    val (nlist, seed, iters) = (snap.properties("nlist").toInt,
+      snap.properties("seed").toLong, snap.properties("lloydIters").toInt)
+    // materialize the corpus off the files the commit below supersedes:
+    // time travel keeps them on disk, but a long lazy read spanning the
+    // swap would mix old plan state with new snapshots
+    val vectors = cat.read(spark, s"${table}_cells")
+      .select($"id", $"vec").localCheckpoint(true)
+    buildIvfIndex(vectors, "id", "vec", warehouse, table, nlist, seed, iters)
   }
 
   /** Shared probe pipeline over a committed index: nprobe nearest cells per
@@ -806,7 +925,8 @@ object Similarity {
    */
   def appendToLshIndex(vectors: DataFrame, idCol: String, vecCol: String,
       warehouse: String, table: String = "ann_lsh",
-      extraProps: Map[String, String] = Map.empty): Unit = {
+      extraProps: Map[String, String] = Map.empty,
+      compactOver: Int = 0, expireKeep: Int = 0): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val cat = new graft.tables.IcebergLite(warehouse)
@@ -820,13 +940,12 @@ object Similarity {
     val inherited = snap.properties - "appendedRows"
     cat.append(bucketed, s"${table}_buckets", inherited ++ extraProps,
       statsCol = Some("bucket"))
-    if (cat.currentSnapshot(s"${table}_ids").nonEmpty) {
-      val delta = cat.readAppended(spark, s"${table}_buckets")
-        .select($"id", $"bucket").repartitionByRange(2, $"id")
-      val idProps = cat.currentSnapshot(s"${table}_ids")
-        .map(_.properties - "appendedRows").getOrElse(Map.empty)
-      cat.append(delta, s"${table}_ids", idProps, statsCol = Some("id"))
-    }
+    // self-healing lockstep — covers this batch AND any sidecar gap a crash
+    // between the two appends left behind ([[healSidecar]])
+    healSidecar(spark, cat, s"${table}_buckets", s"${table}_ids",
+      valueCol = "bucket")
+    cat.maintain(spark, s"${table}_buckets", compactOver, expireKeep)
+    cat.maintain(spark, s"${table}_ids", compactOver, expireKeep)
     ()
   }
 

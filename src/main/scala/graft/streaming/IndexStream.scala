@@ -67,7 +67,13 @@ object IndexStream {
         StreamGuards.checkBatchId(cat, s"${table}_cells", batchId)
         val alreadyCommitted = cat.currentSnapshot(s"${table}_cells")
           .exists(_.properties.get("batchId").exists(_.toLong >= batchId))
-        if (!alreadyCommitted) {
+        if (alreadyCommitted) {
+          // the replay-skip is exactly the window where a crash between the
+          // cells append and the sidecar append would otherwise leave the
+          // sidecar lagging forever — heal it here (no-op when in lockstep)
+          Similarity.healSidecar(batch.sparkSession, cat,
+            s"${table}_cells", s"${table}_ids")
+        } else {
           Similarity.appendToIvfIndex(batch, idCol, vecCol, warehouse, table,
             extraProps = Map("batchId" -> batchId.toString))
           if (compactOver > 0 && cat.currentSnapshot(s"${table}_cells")

@@ -267,6 +267,12 @@ class IcebergLite(rootDir: String) {
   def append(df: DataFrame, table: String,
       properties: Map[String, String] = Map.empty,
       statsCol: Option[String] = None): Snapshot = {
+    // `compactedFrom*` describe ONE specific snapshot (like appendedRows);
+    // callers routinely pass the parent's properties through, and after a
+    // compaction that would stamp every later append as a compaction —
+    // misleading audits and breaking any reader that classifies snapshots
+    // by these markers (the sidecar heal walk did)
+    val props = properties - "compactedFromSnapshot" - "compactedFromFiles"
     val parentSnap = currentSnapshot(table)
     // a bucketed parent makes the table bucketed for life (its bucket spec
     // is physical layout — an append can't disagree with it): route the
@@ -284,7 +290,7 @@ class IcebergLite(rootDir: String) {
           newPartRows.map { case (k, v) => (k + offset) -> v }
         val snap = Snapshot(ps.snapshotId + 1, ps.snapshotId,
           ps.files ++ newFiles, partRows.values.sum, partRows,
-          properties ++ Map("bucketCol" -> bcol, "bucketCount" -> n.toString,
+          props ++ Map("bucketCol" -> bcol, "bucketCount" -> n.toString,
             "bucketDir" -> dirRel,
             "appendedRows" -> newPartRows.values.sum.toString))
         writeSnapshot(table, snap)
@@ -305,7 +311,7 @@ class IcebergLite(rootDir: String) {
       newStats.map { case (k, v) => (k + offset) -> v }
     val snap = Snapshot(sid, parent, baseFiles ++ newFiles,
       partRows.values.sum, partRows,
-      properties ++ statsCol.map("statsCol" -> _) +
+      props ++ statsCol.map("statsCol" -> _) +
         ("appendedRows" -> newPartRows.values.sum.toString),
       fileStats)
     writeSnapshot(table, snap)
@@ -485,6 +491,23 @@ class IcebergLite(rootDir: String) {
         }
     }
     (expired.size, doomed.size)
+  }
+
+  /** Post-append housekeeping for long append chains — the same knobs the
+    * streaming sinks wire, for the batch APIs: `compactOver > 0` folds the
+    * table's data files down when the manifest exceeds that many (for a
+    * bucketed table: back to one file per bucket), `expireKeep > 0` then
+    * bounds the snapshot log. Without this a long chain of appends
+    * accumulates files and snapshots without limit — the classic
+    * small-file problem every table format schedules compaction for. */
+  def maintain(spark: SparkSession, table: String,
+      compactOver: Int, expireKeep: Int): Unit = {
+    if (compactOver > 0 &&
+        currentSnapshot(table).exists(_.files.size > compactOver)) {
+      compact(spark, table, targetFiles = math.max(1, compactOver / 4))
+      if (expireKeep > 0) expireSnapshots(table, keepLast = expireKeep)
+      ()
+    }
   }
 
   /** Read a table at its current (or an explicit) snapshot. */

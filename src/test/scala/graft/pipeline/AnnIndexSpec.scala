@@ -361,6 +361,162 @@ class AnnIndexSpec extends SparkTestBase {
     assert(third < 0.95, s"stale drift reading inherited: $third")
   }
 
+  test("batch append chain with auto-compaction: files and snapshots bounded, probes exact") {
+    import spark.implicits._
+    val wh = tmp()
+    val emb2 = embs.select($"vec_id", $"embedding")
+    Similarity.buildIvfIndex(emb2.filter($"vec_id" < 100), "vec_id", "embedding",
+      wh, nlist = 8)
+    val cat = new IcebergLite(wh)
+    // 8 batch appends with the housekeeping knobs on: a naive chain would
+    // accumulate ~8 files and one snapshot per append forever
+    for (b <- 0 until 8) {
+      val lo = 100 + b * 50; val hi = lo + 50
+      Similarity.appendToIvfIndex(
+        emb2.filter($"vec_id" >= lo && $"vec_id" < hi), "vec_id", "embedding",
+        wh, compactOver = 12, expireKeep = 2)
+    }
+    val cellsSnap = cat.currentSnapshot("ann_ivf_cells").get
+    assert(cellsSnap.files.size <= 12 + 8,
+      s"file growth must be bounded, got ${cellsSnap.files.size}")
+    assert(cat.snapshots("ann_ivf_cells").size <= 2 + 12,
+      s"snapshot log must be bounded, got ${cat.snapshots("ann_ivf_cells").size}")
+    // the compactions preserved the index's self-description and pruning
+    assert(cellsSnap.properties("nlist") == "8" &&
+      cellsSnap.properties("statsCol") == "cell")
+    assert(cellsSnap.fileStats.size == cellsSnap.files.size)
+    val someCell = cat.read(spark, "ann_ivf_cells").agg(min($"cell")).as[Int].head()
+    assert(cat.pruneFiles(cellsSnap, Set(someCell.toLong)).size < cellsSnap.files.size)
+    // probes over the chained-and-compacted index: with every cell probed
+    // the ranking is assignment-invariant, so the result must equal brute
+    // force over the full union (compaction is layout, not logic; the
+    // quantizer stayed frozen on the seed corpus by design)
+    val all = emb2.filter($"vec_id" < 500)
+    val brute = Similarity.bruteForceTopK(all, "vec_id", "embedding",
+        Seq(7L, 123L, 456L), k = 5)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val probed = Similarity.ivfTopKIndexed(spark, wh, Seq(7L, 123L, 456L),
+        k = 5, nprobe = 8)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    assert(probed == brute)
+    // sidecar stayed in lockstep through heals + compactions + expiry
+    val cells = cat.read(spark, "ann_ivf_cells")
+      .select($"id", $"cell").as[(Long, Int)].collect().toSet
+    assert(cat.read(spark, "ann_ivf_ids").as[(Long, Int)].collect().toSet == cells)
+  }
+
+  test("sidecar self-heals after a crash between the cells append and the sidecar append") {
+    import spark.implicits._
+    val wh = tmp()
+    val emb2 = embs.select($"vec_id", $"embedding")
+    Similarity.buildIvfIndex(emb2.filter($"vec_id" < 400), "vec_id", "embedding",
+      wh, nlist = 16)
+    val cat = new IcebergLite(wh)
+    assert(cat.currentSnapshot("ann_ivf_ids").get.properties("syncedTo") ==
+      cat.currentSnapshot("ann_ivf_cells").get.snapshotId.toString)
+    // simulate the crash window: the CELLS append lands (with its batchId
+    // marker, as the streaming sink would write it), the sidecar append
+    // never runs
+    val cs = cat.read(spark, "ann_ivf_centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
+    val orphanBatch = Similarity.assignCells(
+      emb2.filter($"vec_id" >= 400 && $"vec_id" < 450), "vec_id", "embedding", cs)
+    cat.append(orphanBatch, "ann_ivf_cells",
+      cat.currentSnapshot("ann_ivf_cells").get.properties - "appendedRows" +
+        ("batchId" -> "7"),
+      statsCol = Some("cell"))
+    val lagging = cat.read(spark, "ann_ivf_ids").count()
+    assert(lagging == 400, "sidecar must be lagging after the simulated crash")
+    // the streaming replay-skip path calls healSidecar directly — the gap
+    // closes without re-appending the batch
+    Similarity.healSidecar(spark, cat, "ann_ivf_cells", "ann_ivf_ids")
+    val cells = cat.read(spark, "ann_ivf_cells")
+      .select($"id", $"cell").as[(Long, Int)].collect().toSet
+    val sidecar = cat.read(spark, "ann_ivf_ids")
+      .as[(Long, Int)].collect().toSet
+    assert(sidecar == cells && sidecar.size == 450)
+    // healing is idempotent (already level ⇒ no new snapshot)
+    val sidBefore = cat.currentSnapshot("ann_ivf_ids").get.snapshotId
+    Similarity.healSidecar(spark, cat, "ann_ivf_cells", "ann_ivf_ids")
+    assert(cat.currentSnapshot("ann_ivf_ids").get.snapshotId == sidBefore)
+    // a NORMAL append after the crash also heals first (two deltas land)
+    val cellsSnapA = cat.currentSnapshot("ann_ivf_cells").get.snapshotId
+    cat.append(Similarity.assignCells(
+        emb2.filter($"vec_id" >= 450 && $"vec_id" < 460), "vec_id", "embedding", cs),
+      "ann_ivf_cells",
+      cat.currentSnapshot("ann_ivf_cells").get.properties - "appendedRows",
+      statsCol = Some("cell"))
+    Similarity.appendToIvfIndex(emb2.filter($"vec_id" >= 460 && $"vec_id" < 470),
+      "vec_id", "embedding", wh)
+    val sidecar2 = cat.read(spark, "ann_ivf_ids").as[(Long, Int)].collect().toSet
+    val cells2 = cat.read(spark, "ann_ivf_cells")
+      .select($"id", $"cell").as[(Long, Int)].collect().toSet
+    assert(sidecar2 == cells2 && sidecar2.size == 470)
+    assert(cat.currentSnapshot("ann_ivf_ids").get.properties("syncedTo").toLong >
+      cellsSnapA)
+    // the healed member-id probe path actually sees the orphaned batch
+    assert(Similarity.ivfTopKIndexed(spark, wh, Seq(420L), k = 3, nprobe = 4)
+      .count() == 3)
+  }
+
+  test("drift-triggered rebuild: retrain-and-swap restores the fit; unchanged data probe-identical") {
+    import spark.implicits._
+    // clustered corpus — same construction rationale as the drift test
+    val rng = new java.util.Random(11)
+    val modes = Array.fill(8)(Array.fill(16)(rng.nextGaussian().toFloat))
+    def vecOf(id: Int): Array[Float] =
+      modes(id % 8).map(x => x + 0.1f * rng.nextGaussian().toFloat)
+    val corpus = (0 until 400).map(i => (i.toLong, vecOf(i)))
+      .toDF("vec_id", "embedding").cache()
+    val wh = tmp()
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", wh, nlist = 8)
+    val cat = new IcebergLite(wh)
+
+    // (a) rebuild over UNCHANGED data: training is bit-deterministic, so
+    // probes are row-identical across the swap, and every table advanced
+    // by full-replacement snapshots (old snapshots still time-travelable)
+    val qs = Seq(3L, 77L, 200L)
+    val before = Similarity.ivfTopKIndexed(spark, wh, qs, k = 5, nprobe = 3)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val sidsBefore = Seq("ann_ivf_cells", "ann_ivf_centroids", "ann_ivf_ids")
+      .map(t => cat.currentSnapshot(t).get.snapshotId)
+    assert(!Similarity.maybeRebuildIvfIndex(spark, wh), // no drift recorded
+      "no-drift index must not rebuild")
+    Similarity.rebuildIvfIndex(spark, wh)
+    val after = Similarity.ivfTopKIndexed(spark, wh, qs, k = 5, nprobe = 3)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    assert(after == before, "rebuild over unchanged data must be probe-identical")
+    Seq("ann_ivf_cells", "ann_ivf_centroids", "ann_ivf_ids")
+      .zip(sidsBefore).foreach { case (t, s) =>
+        assert(cat.currentSnapshot(t).get.snapshotId > s, s"$t must advance") }
+
+    // (b) the DRIFT consumer: append a shifted batch (negated vectors — the
+    // same trip wire as the drift-signal test), maybeRebuild fires, and the
+    // retrained quantizer describes the new mixture: a fresh append from
+    // the shifted distribution now reads healthy instead of ~1.0
+    val shifted = corpus.filter($"vec_id" < 200)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => -x).as("embedding")).cache()
+    Similarity.appendToIvfIndex(shifted, "vec_id", "embedding", wh)
+    val tripped = cat.currentSnapshot("ann_ivf_cells").get
+      .properties("driftFraction").toDouble
+    assert(tripped > 0.9, s"shifted batch must trip the signal, read $tripped")
+    assert(Similarity.maybeRebuildIvfIndex(spark, wh), "drift must trigger rebuild")
+    val shifted2 = corpus.filter($"vec_id" >= 200 && $"vec_id" < 300)
+      .select(($"vec_id" + 200000L).as("vec_id"),
+        transform($"embedding", x => -x).as("embedding"))
+    Similarity.appendToIvfIndex(shifted2, "vec_id", "embedding", wh)
+    val recovered = cat.currentSnapshot("ann_ivf_cells").get
+      .properties("driftFraction").toDouble
+    assert(recovered < 0.9, s"retrained quantizer must fit the shifted data, read $recovered")
+    // rebuild rebuilt the sidecar too: lockstep over the whole union
+    val cells = cat.read(spark, "ann_ivf_cells")
+      .select($"id", $"cell").as[(Long, Int)].collect().toSet
+    val sidecar = cat.read(spark, "ann_ivf_ids").as[(Long, Int)].collect().toSet
+    assert(sidecar == cells && sidecar.size == 700)
+    corpus.unpersist(); shifted.unpersist()
+  }
+
   test("centroid table holds the bit-deterministic quantizer (rebuild-stable)") {
     import spark.implicits._
     val wh1 = tmp(); val wh2 = tmp()

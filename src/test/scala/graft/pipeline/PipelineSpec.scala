@@ -309,6 +309,78 @@ class PipelineSpec extends SparkTestBase {
     assert(sz == wantSz)
   }
 
+  test("incremental chain with auto-compaction: bucketed files/snapshots bounded, contract holds") {
+    import spark.implicits._
+    val docsDf = docs.toDF()
+    val maxId = docList.map(_._1).max
+    val cut0 = maxId / 5
+    val base = docsDf.filter($"doc_id" <= cut0)
+    val wh = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    Dedup.buildShingleIndex(base, "doc_id", "text", wh, n = 3, buckets = 4)
+    val cat = new graft.tables.IcebergLite(wh)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"a", $"b").as[(Long, Long)].collect().toSet
+    var acc = rows(Dedup.jaccardPairs(base, "doc_id", "text", n = 3, threshold = 0.2))
+    // 4 incremental batches with housekeeping on: each append adds ≤ 4
+    // bucket files to postings and ≤ 2 to sizes; compaction folds both back
+    for (b <- 1 to 4) {
+      val lo = cut0 * b; val hi = if (b == 4) maxId else cut0 * (b + 1)
+      val batch = docsDf.filter($"doc_id" > lo && $"doc_id" <= hi)
+      acc ++= rows(Dedup.jaccardPairsIncremental(batch, "doc_id", "text", wh,
+        threshold = 0.2, compactOver = 6, expireKeep = 2))
+    }
+    val snap = cat.currentSnapshot("shingle_index").get
+    assert(snap.files.size <= 6 + 4,
+      s"postings file growth must be bounded, got ${snap.files.size}")
+    assert(cat.snapshots("shingle_index").size <= 2 + 8)
+    // compaction preserved the bucketed layout (the shuffle-free join path)
+    assert(snap.properties("bucketCol") == "shingle")
+    // running union of increments == from-scratch over everything
+    val scratch = rows(Dedup.jaccardPairs(docsDf, "doc_id", "text",
+      n = 3, threshold = 0.2))
+    assert(acc == scratch,
+      s"missing=${(scratch -- acc).take(3)} extra=${(acc -- scratch).take(3)}")
+  }
+
+  test("sizes sidecar self-heals after a crash between the postings and sizes appends") {
+    import spark.implicits._
+    val docsDf = docs.toDF()
+    val third = docList.map(_._1).max / 3
+    val oldDocs = docsDf.filter($"doc_id" <= third)
+    val crashed = docsDf.filter($"doc_id" > third && $"doc_id" <= 2 * third)
+    val newDocs = docsDf.filter($"doc_id" > 2 * third)
+    val wh = java.nio.file.Files.createTempDirectory("graft-szheal").toString
+    Dedup.buildShingleIndex(oldDocs, "doc_id", "text", wh, n = 3)
+    val cat = new graft.tables.IcebergLite(wh)
+    // simulate the crash window: the POSTINGS append lands, the sizes
+    // append never runs
+    val snap0 = cat.currentSnapshot("shingle_index").get
+    cat.append(Dedup.batchShingles(crashed, "doc_id", "text", snap0),
+      "shingle_index", snap0.properties - "appendedRows")
+    assert(cat.read(spark, "shingle_index_sizes").count() <
+      cat.read(spark, "shingle_index").select($"id").distinct().count(),
+      "sizes must be lagging after the simulated crash")
+    // the next incremental call heals first, so its verify sizes are exact:
+    // pairs must equal the from-scratch rows with >=1 end in the new batch
+    val incr = Dedup.jaccardPairsIncremental(newDocs, "doc_id", "text", wh,
+        threshold = 0.2)
+      .as[(Long, Long)].collect().toSet
+    val scratch = Dedup.jaccardPairs(docsDf, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val want = scratch.filter(p => p._1 > 2 * third || p._2 > 2 * third)
+    assert(incr == want,
+      s"missing=${(want -- incr).take(3)} extra=${(incr -- want).take(3)}")
+    // sidecar in lockstep with the postings across crash + heal + append
+    val sz = cat.read(spark, "shingle_index_sizes")
+      .as[(Long, Long)].collect().toMap
+    val wantSz = cat.read(spark, "shingle_index").groupBy($"id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(sz == wantSz)
+  }
+
   test("incremental MinHash-LSH index: prev ∪ incremental == from-scratch; composes over appends") {
     import spark.implicits._
     val docsDf = docs.toDF()
