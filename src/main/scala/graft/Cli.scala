@@ -16,9 +16,10 @@ import graft.query.{Interactive, Lookups, MissingBoth, MissingEnd, MissingStart,
  *            (with --from/--to: one route per invocation; without: the
  *             reference's interactive stdin mode, `Main.kt:283-339`,
  *             via [[graft.query.Interactive]])
- *   benchmark --input <warehouse> [--measurements N]
+ *   benchmark --input <warehouse> [--measurements N | --test]
  *            (reference: `query --benchmark`, 50 seeded pairs,
- *             `Main.kt:32,341-384`)
+ *             `Main.kt:32,341-384`; --test runs the frozen golden
+ *             route-length table, `Benchmarking.java:87-138` analog)
  *   search   --input <warehouse> --prefix P [--limit K]
  *            (reference: wildcard lookup, `Main.kt:323`)
  *   ingest   --input <pages_raw dir> --output <warehouse> [--compact-over N]
@@ -115,6 +116,23 @@ object Cli {
                 new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
                 System.out)
           }
+
+        case Some("benchmark") if args.contains("--test") =>
+          // reference `Benchmarking.runBenchmarksAndTest` analog: the frozen
+          // golden (start, end, expectedRouteSize) table over the
+          // deterministic synth:2000 corpus, per-route OK/FAIL + stats
+          val wh = arg(args, "input").getOrElse(usageError("--input required"))
+          val routes = new Routes(GraphTables.open(spark, wh))
+          routes.pages.count(); routes.edgesOut.count(); routes.edgesIn.count()
+          val failures =
+            try graft.query.GoldenRoutes.run(routes, System.out)
+            catch {
+              case _: MissingStart | _: MissingEnd => usageError(
+                s"golden table is frozen for the ${graft.query.GoldenRoutes.CorpusSpec} " +
+                  "corpus — build the warehouse with " +
+                  s"`convert --input ${graft.query.GoldenRoutes.CorpusSpec}`")
+            }
+          if (failures > 0) usageError(s"$failures golden route(s) FAILED")
 
         case Some("benchmark") =>
           val wh = arg(args, "input").getOrElse(usageError("--input required"))

@@ -505,7 +505,7 @@ object Dedup {
   /** Append a batch's pre-computed postings, then bring the sizes sidecar
     * level through the self-healing walk (shared by the public append and
     * the incremental pair path, which has the postings in hand already). */
-  private def appendShingleRows(cat: graft.tables.IcebergLite, ds: DataFrame,
+  private[graft] def appendShingleRows(cat: graft.tables.IcebergLite, ds: DataFrame,
       table: String, snapProps: Map[String, String],
       extraProps: Map[String, String]): Unit = {
     cat.append(ds, table, snapProps - "appendedRows" ++ extraProps)
@@ -755,7 +755,7 @@ object Dedup {
     * collision-free composite column (band is an int, key an md5 hex), so
     * the bucket layout's bucket-column-==-join-key rule holds with one
     * column. */
-  private def bandBuckets(ds: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def bandBuckets(ds: DataFrame, k: Int, bands: Int): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     val r = k / bands

@@ -52,6 +52,21 @@ class GoldenRoutesSpec extends SparkTestBase {
     dist.getOrElse(b, -1)
   }
 
+  test("frozen 50-pair golden table reproduces exactly on the synth:2000 build") {
+    // the operational harness behind `Cli benchmark --test`: the engine's
+    // distributed build must reproduce every frozen expected route size
+    // (computed once by the independent driver oracle and checked into
+    // GoldenRoutes.Table, like the reference's static ROUTES array)
+    val routes = new Routes(graft.graph.GraphBuilder.build(
+      SynthCorpus.generate(spark, 2000).toDF(), smallIds = true))
+    val sink = new java.io.ByteArrayOutputStream()
+    val failures = GoldenRoutes.run(routes, new java.io.PrintStream(sink))
+    assert(failures == 0, sink.toString.linesIterator
+      .filter(_.contains("FAIL")).take(5).mkString("\n"))
+    assert(GoldenRoutes.Table.size == 50)
+    assert(GoldenRoutes.Table.exists(_._3 == 0), "table must cover unreachable")
+  }
+
   test("golden route lengths on the frozen seed-42 corpus (Benchmarking.java:87-138 analog)") {
     val routes = new Routes(GraphBuilder.build(
       SynthCorpus.toDF(spark, corpus).toDF(), smallIds = true))
