@@ -710,20 +710,29 @@ object Similarity {
    * drifted data it restores the recall the stale quantizer was losing.
    */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      warehouse: String, table: String = "ann_ivf"): Unit = {
+      warehouse: String, table: String = "ann_ivf",
+      nlist: Int = 0, lloydIters: Int = -1): Unit = {
     import spark.implicits._
     val cat = new graft.tables.IcebergLite(warehouse)
     val snap = cat.currentSnapshot(s"${table}_cells").getOrElse(
       throw graft.tables.NoSuchTable(
         s"no committed $table index under $warehouse — buildIvfIndex first"))
-    val (nlist, seed, iters) = (snap.properties("nlist").toInt,
-      snap.properties("seed").toLong, snap.properties("lloydIters").toInt)
+    // committed parameters by default; nlist/lloydIters are OVERRIDABLE
+    // because a rebuild is exactly when the operator re-sizes the quantizer:
+    // a drifted mixture is a harder clustering problem than the seed corpus
+    // (the drift soak measured 2 Lloyd rounds failing to carve cells for a
+    // 10% drifted mode set that 8 rounds separate cleanly), and more data
+    // can warrant more cells. The new parameters become the committed ones.
+    val (nl, seed, iters) = (
+      if (nlist > 0) nlist else snap.properties("nlist").toInt,
+      snap.properties("seed").toLong,
+      if (lloydIters >= 0) lloydIters else snap.properties("lloydIters").toInt)
     // materialize the corpus off the files the commit below supersedes:
     // time travel keeps them on disk, but a long lazy read spanning the
     // swap would mix old plan state with new snapshots
     val vectors = cat.read(spark, s"${table}_cells")
       .select($"id", $"vec").localCheckpoint(true)
-    buildIvfIndex(vectors, "id", "vec", warehouse, table, nlist, seed, iters)
+    buildIvfIndex(vectors, "id", "vec", warehouse, table, nl, seed, iters)
   }
 
   /** Shared probe pipeline over a committed index: nprobe nearest cells per
