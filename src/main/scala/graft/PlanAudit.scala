@@ -144,6 +144,25 @@ object PlanAudit {
     show("winnow-incremental-bucketed")(
       graft.pipeline.Dedup.winnowIncrPlan(shCat, "fp_index", fpBatch,
         minShared = 2L, maxPostings = 0L))
+    // MinHash-LSH pillar (round 6): candidate join reads the committed band
+    // buckets `Bucketed: true` with no corpus-side Exchange; the verify pass
+    // broadcast-restricts ONE postings scan by the (explicitly broadcast,
+    // LSH-small) candidate ids — everything downstream candidate-bounded
+    graft.pipeline.Dedup.buildMinhashIndex(
+      docsDf.filter(col("doc_id") <= halfId), "doc_id", "text", wh,
+      postingsTable = "shingle_index")
+    val mhSnap = shCat.currentSnapshot("minhash_index").get
+    val mhBatchDocs = docsDf.filter(col("doc_id") > halfId)
+    val mhDs = graft.pipeline.Dedup.batchShingles(
+      mhBatchDocs, "doc_id", "text", shCat.currentSnapshot("shingle_index").get)
+    val mhBk = graft.pipeline.Dedup.bandBuckets(
+      mhDs, mhSnap.properties("k").toInt, mhSnap.properties("bands").toInt)
+    show("minhash-incremental-candidates")(
+      graft.pipeline.Dedup.minhashCandPlan(shCat, "minhash_index", mhBk))
+    show("minhash-incremental-verify")(
+      graft.pipeline.Dedup.minhashIncrPlan(shCat, "minhash_index", mhDs, mhBk,
+        mhSnap.properties("k").toInt, mhSnap.properties("bands").toInt,
+        verifyThreshold = 0.5))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
 
     spark.stop()

@@ -894,15 +894,7 @@ object Dedup {
     val spark = ds.sparkSession
     import spark.implicits._
     val pt = cat.currentSnapshot(table).get.properties("postingsTable")
-    val oldBk = cat.readBucketed(spark, table)
-    val candNewOld = newBk.select($"id".as("x"), $"bk")
-      .join(oldBk.select($"id".as("y"), $"bk"), "bk")
-      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
-    val candNewNew = newBk.select($"id".as("a"), $"bk")
-      .join(newBk.select($"id".as("b"), $"bk"), "bk")
-      .filter($"a" < $"b")
-      .select($"a", $"b")
-    val cand = candNewOld.union(candNewNew).distinct().localCheckpoint(false)
+    val cand = minhashCandPlan(cat, table, newBk).localCheckpoint(false)
     if (verifyThreshold <= 0) cand
     else {
       val ids = broadcast(
@@ -917,6 +909,25 @@ object Dedup {
       val sizes = posts.groupBy($"id").agg(count(lit(1)).as("sz"))
       jaccardFilter(common, sizes, verifyThreshold)
     }
+  }
+
+  /** The pre-checkpoint candidate join of [[minhashIncrPlan]] — the batch's
+    * band buckets against the committed bucket table (corpus side bucketed
+    * on `bk`, batch side alone shuffled) — factored so the plan audit can
+    * show the join before the shared checkpoint hides it. */
+  private[graft] def minhashCandPlan(cat: graft.tables.IcebergLite,
+      table: String, newBk: DataFrame): DataFrame = {
+    val spark = newBk.sparkSession
+    import spark.implicits._
+    val oldBk = cat.readBucketed(spark, table)
+    val candNewOld = newBk.select($"id".as("x"), $"bk")
+      .join(oldBk.select($"id".as("y"), $"bk"), "bk")
+      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+    val candNewNew = newBk.select($"id".as("a"), $"bk")
+      .join(newBk.select($"id".as("b"), $"bk"), "bk")
+      .filter($"a" < $"b")
+      .select($"a", $"b")
+    candNewOld.union(candNewNew).distinct()
   }
 
   // ---------------------------------------------------------------------------
