@@ -609,7 +609,10 @@ object Dedup {
    * lands (see [[winnowPairsIncremental]] for why that ordering is the
    * safe one). The `maxPostings` cut, when enabled, counts over the full
    * post-append postings restricted to the batch's shingles, matching a
-   * from-scratch run over the union.
+   * from-scratch run over the union. If a MinHash index shares this
+   * shingle table as its postings substrate, compose the two pillars per
+   * batch through [[ladderIncremental]] — back-to-back single-pillar calls
+   * would append the shared substrate twice.
    */
   def jaccardPairsIncremental(newDocs: DataFrame, idCol: String,
       textCol: String, warehouse: String, table: String = "shingle_index",
@@ -854,6 +857,12 @@ object Dedup {
    * of the postings substrate, and every join after that is
    * candidate-bounded. Result materialized before the append lands
    * (compute-then-append, like the other pillars).
+   *
+   * If the index SHARES its postings substrate with a shingle index, do
+   * not call this back-to-back with [[jaccardPairsIncremental]] for the
+   * same batch — each appends the substrate, so the composition
+   * double-appends it (use [[ladderIncremental]], which owns the ordering
+   * and appends each table exactly once).
    */
   def minhashLshPairsIncremental(newDocs: DataFrame, idCol: String,
       textCol: String, warehouse: String, table: String = "minhash_index",
@@ -928,6 +937,121 @@ object Dedup {
       .filter($"a" < $"b")
       .select($"a", $"b")
     candNewOld.union(candNewNew).distinct()
+  }
+
+  // ---------------------------------------------------------------------------
+  // Ladder composition: one batch through all three pillars, one append each
+  // ---------------------------------------------------------------------------
+
+  /** The three pillars' ≥1-new pair sets for one batch ([[ladderIncremental]]);
+    * a pillar whose table was not named is `None`. */
+  final case class LadderIncrement(passagePairs: Option[DataFrame],
+      jaccardPairs: Option[DataFrame], minhashPairs: Option[DataFrame])
+
+  /**
+   * One batch through the whole incremental dedup ladder in ONE call:
+   * computes every named pillar's ≥1-new pairs against the PRE-append
+   * committed state, materializes them, then appends each committed table
+   * EXACTLY once. This is the safe composition when the MinHash index
+   * shares its postings substrate with the shingle index (the
+   * `buildMinhashIndex(postingsTable = shingleTable)` layout the bench
+   * history uses): calling the single-pillar incrementals in sequence over
+   * a shared substrate appends the batch's postings TWICE, and the second
+   * call — reading a substrate that already contains the batch — then
+   * double-counts its shingles (wrong commons and sizes) or re-classifies
+   * the batch as old (duplicated pairs), depending on order. Same hazard
+   * [[graft.streaming.DedupStream]] documents for its table list; here the
+   * composition is owned so the caller cannot get the order wrong.
+   * Pass an empty table name to skip a pillar (it is neither computed nor
+   * appended); independent substrates compose just as well — each is still
+   * appended exactly once.
+   */
+  def ladderIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      warehouse: String,
+      fpTable: String = "fp_index", shingleTable: String = "shingle_index",
+      minhashTable: String = "minhash_index",
+      minShared: Long = 2L, threshold: Double = 0.8,
+      verifyThreshold: Double = -1.0, maxPostings: Long = 0L,
+      compactOver: Int = 0, expireKeep: Int = 0): LadderIncrement = {
+    val spark = newDocs.sparkSession
+    val cat = new graft.tables.IcebergLite(warehouse)
+    require(Seq(fpTable, shingleTable, minhashTable).exists(_.nonEmpty),
+      "name at least one pillar's index table")
+    def snapOf(t: String, hint: String) = cat.currentSnapshot(t).getOrElse(
+      throw graft.tables.NoSuchTable(s"no committed $t under $warehouse — $hint first"))
+
+    val fpSnap = Option(fpTable).filter(_.nonEmpty)
+      .map(t => snapOf(t, "buildFingerprintIndex"))
+    val shSnap = Option(shingleTable).filter(_.nonEmpty)
+      .map(t => snapOf(t, "buildShingleIndex"))
+    val mhSnap = Option(minhashTable).filter(_.nonEmpty)
+      .map(t => snapOf(t, "buildMinhashIndex"))
+    val mhPt = mhSnap.map(_.properties("postingsTable"))
+    val sharedSubstrate = mhPt.contains(shingleTable) && shSnap.nonEmpty
+
+    // close any postings/sizes crash gaps BEFORE the plans read the sidecars
+    shSnap.foreach(_ => healSizesSidecar(spark, cat, shingleTable))
+    mhPt.filterNot(_ => sharedSubstrate)
+      .foreach(pt => healSizesSidecar(spark, cat, pt))
+
+    // batch frames at each substrate's committed parameters
+    val fpBatch = fpSnap.map(s => batchFps(newDocs, idCol, textCol, s).persist())
+    val shBatch = shSnap.map(s => batchShingles(newDocs, idCol, textCol, s).persist())
+    val ptBatch = // minhash's substrate batch: reuse the shingle pillar's when shared
+      if (sharedSubstrate) shBatch
+      else mhSnap.map(s => batchShingles(newDocs, idCol, textCol, s).persist())
+    val mhBk = mhSnap.map { s =>
+      bandBuckets(ptBatch.get, s.properties("k").toInt,
+        s.properties("bands").toInt).persist()
+    }
+
+    // compute ALL pillars against the strictly pre-batch committed state,
+    // materialized before any append lands (compute-then-append, per pillar)
+    val winnowOut = (fpSnap, fpBatch) match {
+      case (Some(_), Some(b)) => Some(
+        winnowIncrPlan(cat, fpTable, b, minShared, maxPostings)
+          .localCheckpoint(true))
+      case _ => None
+    }
+    val jacOut = (shSnap, shBatch) match {
+      case (Some(_), Some(b)) => Some(
+        jaccardIncrPlan(cat, shingleTable, b, threshold, maxPostings)
+          .localCheckpoint(true))
+      case _ => None
+    }
+    val mhOut = mhSnap.map { s =>
+      minhashIncrPlan(cat, minhashTable, ptBatch.get, mhBk.get,
+        s.properties("k").toInt, s.properties("bands").toInt, verifyThreshold)
+        .localCheckpoint(true)
+    }
+
+    // appends: each committed table exactly once
+    fpSnap.foreach { s =>
+      cat.append(fpBatch.get, fpTable, s.properties - "appendedRows")
+      cat.maintain(spark, fpTable, compactOver, expireKeep)
+    }
+    shSnap.foreach { s =>
+      appendShingleRows(cat, shBatch.get, shingleTable, s.properties, Map.empty)
+      cat.maintain(spark, shingleTable, compactOver, expireKeep)
+      cat.maintain(spark, s"${shingleTable}_sizes", compactOver, expireKeep)
+    }
+    mhSnap.foreach { s =>
+      val pt = mhPt.get
+      if (!sharedSubstrate) {
+        appendShingleRows(cat, ptBatch.get, pt,
+          cat.currentSnapshot(pt).map(_.properties).getOrElse(Map.empty), Map.empty)
+        cat.maintain(spark, pt, compactOver, expireKeep)
+        cat.maintain(spark, s"${pt}_sizes", compactOver, expireKeep)
+      }
+      cat.append(mhBk.get, minhashTable, s.properties - "appendedRows")
+      cat.maintain(spark, minhashTable, compactOver, expireKeep)
+    }
+
+    mhBk.foreach(_.unpersist())
+    if (!sharedSubstrate) ptBatch.foreach(_.unpersist())
+    shBatch.foreach(_.unpersist())
+    fpBatch.foreach(_.unpersist())
+    LadderIncrement(winnowOut, jacOut, mhOut)
   }
 
   // ---------------------------------------------------------------------------

@@ -431,6 +431,92 @@ class PipelineSpec extends SparkTestBase {
     assert(incr2.contains((docList.head._1, 900001L)))
   }
 
+  test("ladderIncremental: shared substrate appended once per batch, every pillar == from-scratch") {
+    import spark.implicits._
+    val docsDf = docs.toDF()
+    val third = docList.map(_._1).max / 3
+    val oldDocs = docsDf.filter($"doc_id" <= third)
+    val batch1 = docsDf.filter($"doc_id" > third && $"doc_id" <= 2 * third)
+    val batch2 = docsDf.filter($"doc_id" > 2 * third)
+    val wh = java.nio.file.Files.createTempDirectory("graft-ladder").toString
+    Dedup.buildFingerprintIndex(oldDocs, "doc_id", "text", wh, k = 8, w = 6)
+    Dedup.buildShingleIndex(oldDocs, "doc_id", "text", wh, n = 3)
+    // minhash SHARES the shingle pillar's postings substrate — the layout
+    // where back-to-back single-pillar incrementals would double-append
+    Dedup.buildMinhashIndex(oldDocs, "doc_id", "text", wh, n = 3, k = 8,
+      bands = 4, postingsTable = "shingle_index")
+    val cat = new graft.tables.IcebergLite(wh)
+    def ab(df: DataFrame) = df.select($"a", $"b").as[(Long, Long)].collect().toSet
+
+    val inc1 = Dedup.ladderIncremental(batch1, "doc_id", "text", wh,
+      minShared = 1L, threshold = 0.2, verifyThreshold = 0.2)
+    val inc2 = Dedup.ladderIncremental(batch2, "doc_id", "text", wh,
+      minShared = 1L, threshold = 0.2, verifyThreshold = 0.2)
+
+    // per-pillar contract across BOTH ladder batches: prev ∪ inc1 ∪ inc2 ==
+    // from-scratch over everything (same contract the single-pillar tests
+    // assert, now through the one-call composition)
+    val wPrev = ab(Dedup.winnowPairs(oldDocs, "doc_id", "text",
+      k = 8, w = 6, minShared = 1L))
+    val wScr = ab(Dedup.winnowPairs(docsDf, "doc_id", "text",
+      k = 8, w = 6, minShared = 1L))
+    val wGot = wPrev | ab(inc1.passagePairs.get) | ab(inc2.passagePairs.get)
+    assert(wGot == wScr,
+      s"winnow: missing=${(wScr -- wGot).take(3)} extra=${(wGot -- wScr).take(3)}")
+    val jPrev = ab(Dedup.jaccardPairs(oldDocs, "doc_id", "text",
+      n = 3, threshold = 0.2))
+    val jScr = ab(Dedup.jaccardPairs(docsDf, "doc_id", "text",
+      n = 3, threshold = 0.2))
+    val jGot = jPrev | ab(inc1.jaccardPairs.get) | ab(inc2.jaccardPairs.get)
+    assert(jGot == jScr,
+      s"jaccard: missing=${(jScr -- jGot).take(3)} extra=${(jGot -- jScr).take(3)}")
+    val mPrev = ab(Dedup.minhashLshPairs(oldDocs, "doc_id", "text",
+      n = 3, k = 8, bands = 4, verifyThreshold = 0.2))
+    val mScr = ab(Dedup.minhashLshPairs(docsDf, "doc_id", "text",
+      n = 3, k = 8, bands = 4, verifyThreshold = 0.2))
+    val mGot = mPrev | ab(inc1.minhashPairs.get) | ab(inc2.minhashPairs.get)
+    assert(mGot == mScr,
+      s"minhash: missing=${(mScr -- mGot).take(3)} extra=${(mGot -- mScr).take(3)}")
+    assert(ab(inc1.jaccardPairs.get).nonEmpty && ab(inc2.jaccardPairs.get).nonEmpty,
+      "fixture must produce cross-batch pairs")
+
+    // the shared substrate was appended EXACTLY once per batch: shingles are
+    // a set per doc, so a double-append shows up as duplicate (id, shingle)
+    // rows (which would also inflate commons and sizes in later verifies)
+    val posts = cat.read(spark, "shingle_index").select($"id", $"shingle")
+    assert(posts.count() == posts.distinct().count(),
+      "shared postings substrate was appended more than once for a batch")
+    val sz = cat.read(spark, "shingle_index_sizes")
+      .as[(Long, Long)].collect().toMap
+    val wantSz = posts.groupBy($"id").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(sz == wantSz)
+    assert(sz.keySet == docList.map(_._1).toSet)
+
+    // skipped pillars (empty table name) are neither computed nor appended
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-ladderskip").toString
+    val cat2 = new graft.tables.IcebergLite(wh2)
+    try {
+      Dedup.buildShingleIndex(oldDocs, "doc_id", "text", wh2, n = 3)
+      val only = Dedup.ladderIncremental(batch1, "doc_id", "text", wh2,
+        fpTable = "", minhashTable = "", threshold = 0.2)
+      assert(only.passagePairs.isEmpty && only.minhashPairs.isEmpty)
+      val jHalf = ab(Dedup.jaccardPairs(oldDocs.union(batch1), "doc_id", "text",
+        n = 3, threshold = 0.2))
+      assert((jPrev | ab(only.jaccardPairs.get)) == jHalf)
+      // naming no pillar at all is a caller error, not a silent no-op
+      assertThrows[IllegalArgumentException] {
+        Dedup.ladderIncremental(batch2, "doc_id", "text", wh2,
+          fpTable = "", shingleTable = "", minhashTable = "")
+      }
+    } finally {
+      for (t <- Seq("fp_index", "shingle_index", "shingle_index_sizes",
+          "minhash_index"))
+        for (c <- Seq(cat, cat2))
+          spark.sql(s"DROP TABLE IF EXISTS `${c.catalogName(t)}`")
+    }
+  }
+
   test("canonicalize small-graph union-find ≡ distributed large/small-star (both cold and warm)") {
     import spark.implicits._
     val docsDf = spark.range(60).toDF("doc_id")

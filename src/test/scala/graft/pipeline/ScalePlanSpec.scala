@@ -471,6 +471,83 @@ class ScalePlanSpec extends SparkTestBase {
     }
   }
 
+  test("incremental joins stay corpus-shuffle-free AFTER appends; all three pillars") {
+    // The fresh-build gate above could pass while the layout silently degrades
+    // on the first real increment (appended files breaking the bucketed scan):
+    // run one full incremental cycle per pillar — which APPENDS through the
+    // bucketed writer — then re-assert the plan property for the NEXT batch
+    // over the grown tables, minhash included.
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val oldDocs = docs.filter($"doc_id" <= 200L)
+    val batch1 = docs.filter($"doc_id" > 200L && $"doc_id" <= 350L)
+    val batch2 = docs.filter($"doc_id" > 350L)
+    val wh = java.nio.file.Files.createTempDirectory("graft-bkgrown").toString
+    Dedup.buildShingleIndex(oldDocs, "doc_id", "text", wh, n = 3)
+    Dedup.buildFingerprintIndex(oldDocs, "doc_id", "text", wh, k = 16, w = 8)
+    // minhash on its OWN postings substrate: the single-pillar incremental
+    // calls below each append their batch, and a shared substrate would be
+    // double-appended (the documented hazard ladderIncremental exists for)
+    Dedup.buildMinhashIndex(oldDocs, "doc_id", "text", wh)
+    // one incremental cycle each — these append batch1 into the committed state
+    Dedup.jaccardPairsIncremental(batch1, "doc_id", "text", wh, threshold = 0.5)
+    Dedup.winnowPairsIncremental(batch1, "doc_id", "text", wh, minShared = 2L)
+    Dedup.minhashLshPairsIncremental(batch1, "doc_id", "text", wh,
+      verifyThreshold = 0.5)
+    val cat = new graft.tables.IcebergLite(wh)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shBatch = Dedup.batchShingles(batch2, "doc_id", "text",
+        cat.currentSnapshot("shingle_index").get)
+      val jPlan = Dedup.jaccardIncrPlan(cat, "shingle_index", shBatch,
+        threshold = 0.5, maxPostings = 64L).queryExecution.executedPlan
+      assert(corpusSideViolations(jPlan, wh).isEmpty,
+        s"jaccard after append: ${corpusSideViolations(jPlan, wh).mkString("; ")}\n$jPlan")
+      val fpBatch = Dedup.batchFps(batch2, "doc_id", "text",
+        cat.currentSnapshot("fp_index").get)
+      val wPlan = Dedup.winnowIncrPlan(cat, "fp_index", fpBatch,
+        minShared = 2L, maxPostings = 64L).queryExecution.executedPlan
+      assert(corpusSideViolations(wPlan, wh).isEmpty,
+        s"winnow after append: ${corpusSideViolations(wPlan, wh).mkString("; ")}\n$wPlan")
+      val mhSnap = cat.currentSnapshot("minhash_index").get
+      val mhBk = Dedup.bandBuckets(shBatch,
+        mhSnap.properties("k").toInt, mhSnap.properties("bands").toInt)
+      val cPlan = Dedup.minhashCandPlan(cat, "minhash_index", mhBk)
+        .queryExecution.executedPlan
+      assert(corpusSideViolations(cPlan, wh).isEmpty,
+        s"minhash candidates after append: ${corpusSideViolations(cPlan, wh).mkString("; ")}\n$cPlan")
+      // verify pass: its postings scan is BROADCAST-RESTRICTED (candidate
+      // ids), so nothing downstream exploits the bucketing and Spark's
+      // DisableUnnecessaryBucketedScan may read it plain — acceptable; the
+      // property scale needs here is no corpus-side shuffle/broadcast
+      val vPlan = Dedup.minhashIncrPlan(cat, "minhash_index", shBatch, mhBk,
+        mhSnap.properties("k").toInt, mhSnap.properties("bands").toInt,
+        verifyThreshold = 0.5).queryExecution.executedPlan
+      val vViol = corpusSideViolations(vPlan, wh)
+        .filterNot(_.startsWith("corpus scan is not bucketed"))
+      assert(vViol.isEmpty,
+        s"minhash verify after append: ${vViol.mkString("; ")}\n$vPlan")
+      // the walk saw real bucketed corpus scans on the GROWN tables (multiple
+      // files per bucket now) — and every one of them still bucketedScan
+      val corpusScans = Seq(jPlan, wPlan, cPlan).flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(wh)) => s
+      })
+      assert(corpusScans.size >= 3)
+      assert(corpusScans.forall(_.bucketedScan))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      for (t <- Seq("shingle_index", "shingle_index_sizes", "fp_index",
+          "minhash_index", "minhash_index_postings",
+          "minhash_index_postings_sizes"))
+        spark.sql(s"DROP TABLE IF EXISTS `${cat.catalogName(t)}`")
+    }
+  }
+
   test("resize caps the longer side, preserves aspect, dims re-parsed from bytes") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
