@@ -34,6 +34,14 @@ import graft.query.{Interactive, Lookups, MissingBoth, MissingEnd, MissingStart,
  *            [--query 0,1,2] [--nlist N] [--k K] [--nprobe P]
  *            (build-once/probe-many ANN: --vectors trains + commits the IVF
  *             index; --query probes the committed index without retraining)
+ *   dedup    --input <warehouse> --docs <parquet> [--seed | --stream]
+ *            (beyond the reference: the incremental text-dedup ladder as an
+ *             entrypoint — --seed builds the committed fp/shingle/MinHash
+ *             indexes over a seed corpus (MinHash sharing the shingle
+ *             postings substrate); default runs ONE batch through
+ *             [[graft.pipeline.Dedup.ladderIncremental]] and prints each
+ *             pillar's ≥1-new pair count; --stream drains new files via
+ *             [[graft.streaming.DedupStream]])
  */
 object Cli {
 
@@ -53,6 +61,12 @@ object Cli {
     arg(args, name).map { v =>
       try v.toInt
       catch { case _: NumberFormatException => usageError(s"--$name expects an integer, got '$v'") }
+    }
+
+  private def doubleArg(args: Array[String], name: String): Option[Double] =
+    arg(args, name).map { v =>
+      try v.toDouble
+      catch { case _: NumberFormatException => usageError(s"--$name expects a number, got '$v'") }
     }
 
   def main(args: Array[String]): Unit = {
@@ -186,6 +200,81 @@ object Cli {
                 s"links_raw at snapshot ${s.snapshotId}: ${s.rowCount} pages, " +
                   s"${s.files.size} data files, lastBatch=${s.properties.getOrElse("batchId", "?")}")
             case None => println("no input files found; nothing committed")
+          }
+
+        case Some("dedup") =>
+          // the incremental text-dedup ladder, operable end-to-end: seed the
+          // committed indexes once, then feed batches (or a stream) — each
+          // batch prices only itself, the corpus is never re-shingled
+          val wh = arg(args, "input").getOrElse(usageError("--input required"))
+          val docsPath = arg(args, "docs").getOrElse(usageError("--docs required"))
+          val idCol = arg(args, "id-col").getOrElse("doc_id")
+          val textCol = arg(args, "text-col").getOrElse("text")
+          val n = intArg(args, "n").getOrElse(3)
+          val threshold = doubleArg(args, "threshold").getOrElse(0.8)
+          val minShared = intArg(args, "min-shared").getOrElse(2).toLong
+          val verifyThreshold =
+            doubleArg(args, "verify-threshold").getOrElse(threshold)
+          val maxPostings = intArg(args, "max-postings").getOrElse(0).toLong
+          val compactOver = intArg(args, "compact-over").getOrElse(64)
+          val expireKeep = intArg(args, "expire-keep").getOrElse(0)
+          val cat = new graft.tables.IcebergLite(wh)
+          if (args.contains("--seed")) {
+            val docs = spark.read.parquet(docsPath)
+            val t0 = System.nanoTime()
+            graft.pipeline.Dedup.buildFingerprintIndex(docs, idCol, textCol, wh,
+              k = intArg(args, "fp-k").getOrElse(8),
+              w = intArg(args, "fp-w").getOrElse(6))
+            graft.pipeline.Dedup.buildShingleIndex(docs, idCol, textCol, wh, n = n)
+            // MinHash shares the shingle postings substrate — one copy of the
+            // corpus's shingles serves both the Jaccard and MinHash pillars
+            graft.pipeline.Dedup.buildMinhashIndex(docs, idCol, textCol, wh,
+              n = n, k = intArg(args, "sig-k").getOrElse(8),
+              bands = intArg(args, "bands").getOrElse(4),
+              postingsTable = "shingle_index")
+            println(f"seeded dedup indexes in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+            for (t <- Seq("fp_index", "shingle_index", "minhash_index"); s <- cat.currentSnapshot(t))
+              println(s"  $t: ${s.rowCount} rows, ${s.files.size} data files")
+          } else if (args.contains("--stream")) {
+            // shingle_index is maintained THROUGH the MinHash path (it is the
+            // index's postings substrate) — naming it separately would
+            // double-append the shared table
+            graft.streaming.DedupStream.run(spark, docsPath, wh,
+                idCol, textCol, fpTable = "fp_index",
+                minhashTable = "minhash_index",
+                compactOver = compactOver, expireKeep = expireKeep)
+              .fold(println("no input files found; nothing committed"))(
+                _.awaitTermination())
+            for (t <- Seq("fp_index", "shingle_index", "minhash_index"); s <- cat.currentSnapshot(t))
+              println(s"$t at snapshot ${s.snapshotId}: ${s.rowCount} rows, " +
+                s"${s.files.size} data files, lastBatch=${s.properties.getOrElse("batchId", "?")}")
+          } else {
+            val batch = spark.read.parquet(docsPath)
+            val t0 = System.nanoTime()
+            val inc = graft.pipeline.Dedup.ladderIncremental(batch, idCol,
+              textCol, wh, minShared = minShared, threshold = threshold,
+              verifyThreshold = verifyThreshold, maxPostings = maxPostings,
+              compactOver = compactOver, expireKeep = expireKeep)
+            val nDocs = batch.count()
+            def show(label: String, pairs: Option[org.apache.spark.sql.DataFrame]): Unit =
+              pairs.foreach { p =>
+                val c = p.count()
+                println(s"  $label: $c pair(s) involving a new doc")
+                if (args.contains("--show-pairs"))
+                  p.orderBy("a", "b").limit(20).collect()
+                    .foreach(r => println(s"    ${r.getLong(0)} <-> ${r.getLong(1)}"))
+              }
+            println(f"ladder increment: $nDocs docs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+            show("passages", inc.passagePairs)
+            show("jaccard ", inc.jaccardPairs)
+            show("minhash ", inc.minhashPairs)
+            arg(args, "pairs-out").foreach { out =>
+              for ((name, p) <- Seq("passages" -> inc.passagePairs,
+                  "jaccard" -> inc.jaccardPairs, "minhash" -> inc.minhashPairs);
+                  df <- p)
+                df.write.mode("overwrite").parquet(s"$out/$name")
+              println(s"pair tables written under $out")
+            }
           }
 
         case Some("analyze") if arg(args, "algo").contains("ann-index") =>
@@ -353,7 +442,7 @@ object Cli {
 
         case other =>
           System.err.println(s"unknown command: ${other.getOrElse("")}")
-          System.err.println("usage: convert|query|benchmark|search|ingest|analyze --input ... [options]")
+          System.err.println("usage: convert|query|benchmark|search|ingest|analyze|dedup --input ... [options]")
           sys.exit(2)
       }
     }
