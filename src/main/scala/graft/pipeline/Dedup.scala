@@ -817,7 +817,11 @@ object Dedup {
   /** Fast-append a new batch to the committed MinHash-LSH index — O(batch)
     * shingle + signature work, parent buckets and postings untouched. The
     * postings substrate named by the snapshot is appended in the same call
-    * so verify stays exact over the union. */
+    * so verify stays exact over the union. If that substrate is a SHARED
+    * shingle index, do not also [[appendToShingleIndex]] the same batch —
+    * that double-appends it; [[ladderIncremental]] (batch) and
+    * [[graft.streaming.DedupStream]] (per-table markers) own that
+    * composition. */
   def appendToMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String,
       warehouse: String, table: String = "minhash_index",
       extraProps: Map[String, String] = Map.empty,
