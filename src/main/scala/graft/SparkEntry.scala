@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.algo.{Bfs, ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
 import graft.graph.{Edge, EdgeTable, GraphBuilder}
 import graft.ingest.SynthCorpus
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.query.Routes
 
 /**
@@ -437,6 +437,28 @@ object SparkEntry {
         Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5))
     },
 
+    // the ladder's end-cap: the DEDUPLICATED corpus itself (one row per
+    // near-dup cluster, the canonical min-id member) — what actually ships
+    // to training after pairs → clusters → keep-one
+    "d_corpus_dedup" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      Dedup.keepCanonical(docs, "doc_id",
+        Dedup.canonicalize(docs, "doc_id",
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)))
+    },
+
+    // deterministic hash sampling/splitting: same rows every run/engine —
+    // the oracle recomputes the md5 bucket verbatim in SQL
+    "p_sample_hash" -> ((s, dir) =>
+      Sampling.sample(tbl(s, dir, "documents"), "doc_id", keep = 16384)),
+
+    "p_split_hash" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "documents").select($"doc_id",
+        Sampling.splitLabel($"doc_id",
+          Seq("train" -> 52429, "val" -> 58982), "test"))
+    },
+
     // warm re-canonicalization of a GROWN corpus, through the FULL
     // incremental ladder: the committed per-JVM HISTORY holds the first
     // half's labels + shingle index; the second half arrives as a batch
@@ -757,6 +779,28 @@ object SparkEntry {
     // warm == cold is the contract: the oracle for the warm path is the
     // cold clustering over the full corpus
     "d_clusters_warm" -> clustersSql(16),
+
+    // the deduplicated corpus: documents whose id is its cluster's
+    // canonical label under the same clustering SQL
+    "d_corpus_dedup" ->
+      s"""SELECT d.* FROM documents d
+         |WHERE d.doc_id IN (
+         |  SELECT id FROM (${clustersSql(16)}) c WHERE c.id = c.canonical_id)""".stripMargin,
+
+    // deterministic md5-bucket sampling: keep 16384/65536 = 25%
+    "p_sample_hash" ->
+      """SELECT * FROM documents
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 65536 < 16384""".stripMargin,
+
+    // deterministic split labels at explicit bucket cuts (~80/10/10)
+    "p_split_hash" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 52429 THEN 'train'
+        |       WHEN b < 58982 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 65536 AS b
+        |      FROM documents)""".stripMargin,
 
     "d_minhash_sig" ->
       s"""WITH $ShinglesCte,

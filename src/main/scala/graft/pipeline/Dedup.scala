@@ -131,6 +131,22 @@ object Dedup {
         .components.select($"id", $"component".as("canonical_id"))
   }
 
+  /**
+   * The dedup ladder's end-cap: the corpus with every non-canonical
+   * duplicate DROPPED — one row per cluster, the row whose id is the
+   * cluster's canonical label (min id by [[canonicalize]]'s convention;
+   * singletons are their own label, so untouched docs pass through).
+   * `labels` is the (id, canonical_id) frame from [[canonicalize]] /
+   * [[canonicalizeWarm]]. A left-semi equi-join on the id key: the keep
+   * set carries only ids (never doc bytes), both sides shuffle on the
+   * same key, and dropped rows ship nothing downstream — the shape that
+   * holds when docs are 100 TB and labels are billions of longs.
+   */
+  def keepCanonical(docs: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    val keep = labels.where(col("id") === col("canonical_id")).select(col("id"))
+    docs.join(keep, docs(idCol) === keep("id"), "left_semi")
+  }
+
   // ---------------------------------------------------------------------------
   // Word-shingle machinery (shared by Jaccard and MinHash)
   // ---------------------------------------------------------------------------

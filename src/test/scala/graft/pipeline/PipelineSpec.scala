@@ -517,6 +517,53 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("keepCanonical drops exactly the non-canonical cluster members") {
+    import spark.implicits._
+    val docsDf = spark.range(20).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (15L, 16L)).toDF("a", "b")
+    val labels = Dedup.canonicalize(docsDf, "doc_id", pairs)
+    val kept = Dedup.keepCanonical(docsDf, "doc_id", labels)
+      .select($"doc_id").as[Long].collect().toSet
+    // min-id canonicals survive; the other cluster members are dropped;
+    // singletons pass through
+    assert(kept == (0L until 20L).toSet -- Set(2L, 3L, 9L, 16L))
+  }
+
+  test("hash sampling/splitting: md5 buckets match a driver oracle, partition-invariant") {
+    import spark.implicits._
+    val docsDf = docs.toDF()
+    def bucketOracle(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % 65536
+    }
+    val got = docsDf.select($"doc_id", Sampling.hashBucket($"doc_id"))
+      .as[(Long, Int)].collect().toMap
+    for ((id, _) <- docList) assert(got(id) == bucketOracle(id), s"doc $id")
+    // sample == the driver predicate, and invariant under repartitioning
+    // (rand()-based sample() is neither)
+    val kept = Sampling.sample(docsDf, "doc_id", keep = 16384)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == docList.map(_._1).filter(id => bucketOracle(id) < 16384).toSet)
+    val kept2 = Sampling.sample(docsDf.repartition(7), "doc_id", 16384)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept2 == kept)
+    assert(kept.nonEmpty && kept.size < docList.size)
+    val splits = docsDf.select($"doc_id", Sampling.splitLabel($"doc_id",
+        Seq("train" -> 52429, "val" -> 58982), "test"))
+      .as[(Long, String)].collect().toMap
+    for ((id, _) <- docList) {
+      val b = bucketOracle(id)
+      val want = if (b < 52429) "train" else if (b < 58982) "val" else "test"
+      assert(splits(id) == want, s"doc $id bucket $b")
+    }
+    assertThrows[IllegalArgumentException](
+      Sampling.splitLabel($"doc_id", Seq("a" -> 10, "b" -> 5), "c"))
+    assertThrows[IllegalArgumentException](
+      Sampling.sample(docsDf, "doc_id", -1))
+  }
+
   test("canonicalize small-graph union-find ≡ distributed large/small-star (both cold and warm)") {
     import spark.implicits._
     val docsDf = spark.range(60).toDF("doc_id")
