@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.algo.{Bfs, ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
 import graft.graph.{Edge, EdgeTable, GraphBuilder}
 import graft.ingest.SynthCorpus
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.query.Routes
 
 /**
@@ -459,6 +459,17 @@ object SparkEntry {
           Seq("train" -> 52429, "val" -> 58982), "test"))
     },
 
+    // concat-then-chunk sequence packing over a DISTRIBUTED prefix sum
+    // (two-phase scan-then-offset — never a single-task global window);
+    // the oracle is the single-stream SQL window it must equal
+    "p_pack" -> { (s, dir) =>
+      import s.implicits._
+      Packing.packByBudget(
+        tbl(s, dir, "documents").select($"doc_id",
+          TextAnalysis.tokenCount($"text").as("tc")),
+        "doc_id", "tc", budget = 2048L)
+    },
+
     // warm re-canonicalization of a GROWN corpus, through the FULL
     // incremental ladder: the committed per-JVM HISTORY holds the first
     // half's labels + shingle index; the second half arrives as a batch
@@ -800,6 +811,18 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM (SELECT doc_id,
         |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 65536 AS b
+        |      FROM documents)""".stripMargin,
+
+    // the single-stream window the distributed prefix sum must equal:
+    // pack = chunk of the doc's first token in the concatenated stream
+    "p_pack" ->
+      """SELECT doc_id,
+        |  CAST(COALESCE(SUM(tc) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |       // 2048 AS BIGINT) AS pack_id
+        |FROM (SELECT doc_id,
+        |        CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc
         |      FROM documents)""".stripMargin,
 
     "d_minhash_sig" ->

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence packing for pre-training pipelines: documents are concatenated
+ * into one token stream in a stable order and cut every `budget` tokens
+ * (the standard concat-then-chunk packing); a document's pack is the chunk
+ * its first token lands in. The primitive under it is a DISTRIBUTED global
+ * prefix sum — the naive formulation (`sum over (order by id)` with no
+ * partition key) collapses the whole corpus into ONE window task, which is
+ * exactly the plan that cannot survive 100 TB. Here it is two-phase, the
+ * classic scan-then-offset shape: range-shuffle on the order key, an
+ * in-partition running sum (each partition its own window task), then each
+ * partition's rows are shifted by the broadcast prefix of the partition
+ * totals (at most `shuffle.partitions` longs through the driver). The
+ * result is independent of where the range boundaries fall, so it is
+ * deterministic even though `repartitionByRange` samples its bounds — and
+ * the DuckDB oracle checks it against the single-stream SQL window.
+ */
+object Packing {
+
+  /**
+   * Global running total of `valueCol` in `orderCol` order (inclusive of
+   * the current row), as (orderCol, valueCol, `out`) — computed on this
+   * narrow projection so the materialization between the two phases never
+   * carries document bytes; join the result back on the unique order key
+   * if the full rows are needed. `orderCol` must be unique (it is the
+   * tie-break that makes "the" prefix sum well-defined).
+   */
+  /** Phase one as a lazy plan — the range shuffle + per-partition running
+    * sum (every window task keyed by its partition, never a global one);
+    * factored so the plan audit can gate the no-global-window property
+    * before [[withCumsum]]'s materialization hides it. */
+  private[graft] def localCumsumPlan(df: DataFrame, orderCol: String,
+      valueCol: String, partitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val w = Window.partitionBy($"_pid").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(orderCol), col(valueCol).cast("long").as(valueCol))
+      .repartitionByRange(p, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_local", sum(col(valueCol)).over(w))
+  }
+
+  def withCumsum(df: DataFrame, orderCol: String, valueCol: String,
+      out: String = "cumsum", partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // one pass computes BOTH the in-partition running sums and (as each
+    // partition's max) the totals the offsets need; materialized so the
+    // two consumers cannot see different range boundaries
+    val local = localCumsumPlan(df, orderCol, valueCol, partitions)
+      .localCheckpoint(true)
+    val totals = local.groupBy($"_pid").agg(max($"_local").as("t"))
+      .as[(Int, Long)].collect().sortBy(_._1) // ≤ p rows — driver-bounded
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offExpr = coalesce(
+      element_at(typedLit(offsets), $"_pid"), lit(0L))
+    local.withColumn(out, $"_local" + offExpr).drop("_pid", "_local")
+  }
+
+  /**
+   * Concat-then-chunk pack assignment: (idCol, `out`) where `out` is the
+   * zero-based chunk of size `budget` that the document's FIRST token
+   * falls in, concatenating documents in ascending `idCol` order. Long
+   * documents span chunks (their tail tokens belong to later packs — the
+   * pack id is the start chunk, as in stream packing); empty documents
+   * inherit the current position. Integral arithmetic end-to-end.
+   */
+  def packByBudget(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, out: String = "pack_id", partitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    withCumsum(df, idCol, tokenCol, "_cum", partitions)
+      .select(col(idCol),
+        expr(s"(_cum - cast(`$tokenCol` as bigint)) div ${budget}L").as(out))
+  }
+}

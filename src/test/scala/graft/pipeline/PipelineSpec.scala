@@ -564,6 +564,36 @@ class PipelineSpec extends SparkTestBase {
       Sampling.sample(docsDf, "doc_id", -1))
   }
 
+  test("packByBudget: distributed prefix sum matches the driver oracle at any partition count") {
+    import spark.implicits._
+    val docsDf = docs.toDF()
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("tc"))
+    val ordered = docList.sortBy(_._1).map { case (id, text) =>
+      (id, text.trim.split("\\s+").count(_.nonEmpty).toLong)
+    }
+    // inclusive running total
+    val wantCum = ordered.scanLeft((0L, 0L)) { case ((_, c), (id, tc)) =>
+      (id, c + tc)
+    }.drop(1).toMap
+    val gotCum = Packing.withCumsum(docsDf, "doc_id", "tc")
+      .select($"doc_id", $"cumsum").as[(Long, Long)].collect().toMap
+    assert(gotCum == wantCum)
+    // pack = chunk of the doc's first token; identical for ANY partition
+    // count (the offsets phase must fully compensate the range boundaries)
+    var cum = 0L
+    val want = ordered.map { case (id, tc) =>
+      val start = cum; cum += tc; (id, start / 64L)
+    }.toMap
+    for (p <- Seq(0, 1, 3, 17)) {
+      val got = Packing.packByBudget(docsDf, "doc_id", "tc",
+        budget = 64L, partitions = p).as[(Long, Long)].collect().toMap
+      assert(got == want, s"partitions=$p")
+    }
+    assert(want.values.toSet.size > 1, "fixture must span multiple packs")
+    assertThrows[IllegalArgumentException](
+      Packing.packByBudget(docsDf, "doc_id", "tc", 0L))
+  }
+
   test("canonicalize small-graph union-find ≡ distributed large/small-star (both cold and warm)") {
     import spark.implicits._
     val docsDf = spark.range(60).toDF("doc_id")

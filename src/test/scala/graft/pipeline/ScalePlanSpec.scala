@@ -548,6 +548,34 @@ class ScalePlanSpec extends SparkTestBase {
     }
   }
 
+  test("global cumsum never plans a single-task global window") {
+    // the naive `sum over (order by id)` formulation collapses the corpus
+    // into ONE window task; the two-phase operator must keep every window
+    // keyed by its range partition
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"n_chars")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try Packing.localCumsumPlan(docs, "doc_id", "n_chars", 0)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"global (un-keyed) window in the cumsum plan:\n$plan")
+    // and the shuffle feeding it is the range partitioning, not a global sort
+    val ranges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+    }
+    assert(ranges.nonEmpty, s"expected a range shuffle:\n$plan")
+  }
+
   test("resize caps the longer side, preserves aspect, dims re-parsed from bytes") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
