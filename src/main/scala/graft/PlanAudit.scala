@@ -165,6 +165,39 @@ object PlanAudit {
         verifyThreshold = 0.5))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
 
+    // deterministic sampling / mixing (round 6): scalar md5-bucket filters
+    // over the scan — expect ZERO exchanges in both plans (the mix's CASE
+    // folds into the same codegen'd filter no matter how many groups)
+    show("sample-hash-filter")(
+      graft.pipeline.Sampling.sample(docsDf, "doc_id", keep = 16384))
+    show("mix-by-group-filter")(
+      graft.pipeline.Sampling.sampleByGroup(docsDf, "doc_id", "lang",
+        Map("en" -> 65536, "de" -> 32768, "fr" -> 16384), salt = "mix1:"))
+
+    // sequence packing (round 6): the two-phase distributed prefix sum —
+    // expect a RangePartitioning exchange and a Window KEYED by the range
+    // partition id; never a global (empty partitionSpec) window
+    show("pack-cumsum-two-phase")(
+      graft.pipeline.Packing.localCumsumPlan(
+        docsDf.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 0))
+
+    // dedup end-cap (round 6): keep-canonical is a LEFT-SEMI equi-join on
+    // the id key — ids only on the keep side, dropped rows ship nothing
+    val capLabels = graft.pipeline.Dedup.canonicalize(docsDf, "doc_id",
+      graft.pipeline.Dedup.jaccardPairs(docsDf, "doc_id", "text",
+        n = 3, threshold = 0.5))
+    show("keep-canonical-semi")(
+      graft.pipeline.Dedup.keepCanonical(docsDf, "doc_id", capLabels))
+
+    // decontamination (round 6): eval shingles broadcast — the corpus side
+    // streams into a BroadcastHashJoin with NO exchange beneath it; only
+    // the matched sliver reaches the counting aggregate
+    show("decontam-broadcast-eval")(
+      graft.pipeline.Decontaminate.contaminationPairs(
+        docsDf.filter(col("doc_id") % 17 =!= 0), "doc_id", "text",
+        docsDf.filter(col("doc_id") % 17 === 0), "doc_id", "text",
+        n = 3, minShared = 2L))
+
     spark.stop()
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.algo.{Bfs, ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
 import graft.graph.{Edge, EdgeTable, GraphBuilder}
 import graft.ingest.SynthCorpus
-import graft.pipeline.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.query.Routes
 
 /**
@@ -470,6 +470,37 @@ object SparkEntry {
         "doc_id", "tc", budget = 2048L)
     },
 
+    // per-group corpus mixing: a different deterministic keep fraction per
+    // language (all en, half de, quarter fr, eighth es, zh and anything
+    // unlisted dropped), salted so the mix draw is independent of the
+    // global sample/split
+    "p_mix" -> ((s, dir) =>
+      Sampling.sampleByGroup(tbl(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 65536, "de" -> 32768, "fr" -> 16384, "es" -> 8192),
+        defaultKeep = 0, salt = "mix1:")),
+
+    // eval-set decontamination: eval set = every 17th doc; corpus docs
+    // sharing ≥ 2 word-3-gram shingles with any eval doc (eval shingles
+    // broadcast — the corpus side streams with no shuffle before the join)
+    "p_contam" -> { (s, dir) =>
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      Decontaminate.contaminationPairs(
+        docs.where($"doc_id" % 17 =!= 0), "doc_id", "text",
+        docs.where($"doc_id" % 17 === 0), "doc_id", "text",
+        n = 3, minShared = 2L)
+    },
+
+    // ...and the corpus that ships after dropping them (ids-only anti-join)
+    "p_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      Decontaminate.decontaminate(
+        docs.where($"doc_id" % 17 =!= 0), "doc_id", "text",
+        docs.where($"doc_id" % 17 === 0), "doc_id", "text",
+        n = 3, minShared = 2L)
+    },
+
     // warm re-canonicalization of a GROWN corpus, through the FULL
     // incremental ladder: the committed per-JVM HISTORY holds the first
     // half's labels + shingle index; the second half arrives as a batch
@@ -552,6 +583,13 @@ object SparkEntry {
       import s.implicits._
       tbl(s, dir, "documents").select($"doc_id",
         TextAnalysis.qualityScore($"text").as("quality"))
+    },
+
+    "t_repetition" -> { (s, dir) =>
+      import s.implicits._
+      tbl(s, dir, "documents").select($"doc_id",
+        TextAnalysis.repetitionFraction($"text", 2).as("rep2"),
+        TextAnalysis.repetitionFraction($"text", 3).as("rep3"))
     },
 
     "t_langid" -> ((s, dir) =>
@@ -825,6 +863,37 @@ object SparkEntry {
         |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc
         |      FROM documents)""".stripMargin,
 
+    // per-language mix: the salted md5 bucket against a per-group keep
+    "p_mix" ->
+      """SELECT * FROM documents
+        |WHERE CAST('0x' || substring(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 65536 <
+        |  CASE WHEN lang = 'en' THEN 65536
+        |       WHEN lang = 'de' THEN 32768
+        |       WHEN lang = 'fr' THEN 16384
+        |       WHEN lang = 'es' THEN 8192
+        |       ELSE 0 END""".stripMargin,
+
+    // contamination pairs: corpus docs sharing ≥ 2 distinct 3-gram
+    // shingles with an eval doc (eval set = every 17th doc)
+    "p_contam" ->
+      s"""WITH $ShinglesCte,
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 17 = 0),
+         |co AS (SELECT doc_id AS id, shingle FROM sh WHERE doc_id % 17 <> 0)
+         |SELECT co.id, ev.eval_id, COUNT(*) AS common
+         |FROM co JOIN ev ON co.shingle = ev.shingle
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // the decontaminated corpus: same pair predicate, then NOT IN
+    "p_decontam" ->
+      s"""WITH $ShinglesCte,
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 17 = 0),
+         |co AS (SELECT doc_id AS id, shingle FROM sh WHERE doc_id % 17 <> 0),
+         |bad AS (SELECT id FROM (
+         |    SELECT co.id, ev.eval_id FROM co JOIN ev ON co.shingle = ev.shingle
+         |    GROUP BY 1, 2 HAVING COUNT(*) >= 2) GROUP BY id)
+         |SELECT d.* FROM documents d
+         |WHERE d.doc_id % 17 <> 0 AND d.doc_id NOT IN (SELECT id FROM bad)""".stripMargin,
+
     "d_minhash_sig" ->
       s"""WITH $ShinglesCte,
          |$MinhashSigCte
@@ -847,6 +916,21 @@ object SparkEntry {
         |    '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
         |    AS INT) AS tc_sub
         |FROM documents""".stripMargin,
+
+    // duplicate word-n-gram fraction per doc (grams kept as multisets)
+    "t_repetition" ->
+      """SELECT doc_id,
+        |  ROUND(CASE WHEN len(g2) = 0 THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) END, 6) AS rep2,
+        |  ROUND(CASE WHEN len(g3) = 0 THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(g3)) * 1.0 / len(g3) END, 6) AS rep3
+        |FROM (SELECT doc_id,
+        |        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+        |                       i -> toks[i] || ' ' || toks[i+1]) AS g2,
+        |        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+        |                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+        |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |            FROM documents))""".stripMargin,
 
     "t_quality" ->
       """SELECT doc_id, ROUND(

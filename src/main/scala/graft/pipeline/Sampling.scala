@@ -28,10 +28,18 @@ object Sampling {
   /** Stable bucket in [0, of) for an id column: first 4 md5-hex chars of
     * the id's decimal rendering, mod `of`. Mirrors the SQL
     * `CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 4) AS INTEGER)
-    * % of` exactly (md5 hex is lowercase in both engines). */
-  def hashBucket(id: Column, of: Int = Buckets): Column = {
+    * % of` exactly (md5 hex is lowercase in both engines). A non-empty
+    * `salt` prefixes the hashed string (`md5('salt' || id)` in SQL) and
+    * yields an INDEPENDENT draw — distinct pipeline decisions (the split,
+    * each corpus-mix, a debug sample) must each use their own salt, or the
+    * "10% sample" is exactly the head of the train split rather than an
+    * unbiased draw. */
+  def hashBucket(id: Column, of: Int = Buckets, salt: String = ""): Column = {
     require(of > 0 && of <= Buckets, s"of must be in (0, $Buckets]")
-    (conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+    val rendered =
+      if (salt.isEmpty) id.cast("string")
+      else concat(lit(salt), id.cast("string"))
+    (conv(substring(md5(rendered), 1, 4), 16, 10)
       .cast("int") % of).as("bucket")
   }
 
@@ -41,6 +49,27 @@ object Sampling {
   def sample(df: DataFrame, idCol: String, keep: Int, of: Int = Buckets): DataFrame = {
     require(keep >= 0 && keep <= of, "keep must be in [0, of]")
     df.where(hashBucket(col(idCol), of) < keep)
+  }
+
+  /** Corpus mixing: keep a DIFFERENT deterministic fraction per group —
+    * the per-source/per-language down- and up-weighting step of a training
+    * mix (e.g. keep all of `en`, half of `de`, none of a blocked source).
+    * `keeps` maps group value → kept buckets in [0, of]; unlisted groups
+    * get `defaultKeep` (0 = drop, the safe default for an explicit mix).
+    * Same determinism contract as [[sample]], and the same plan shape: the
+    * keeps map folds into a CASE expression, so the whole mix is one
+    * codegen'd filter over the scan — no shuffle, no join, regardless of
+    * how many groups the mix names. */
+  def sampleByGroup(df: DataFrame, idCol: String, groupCol: String,
+      keeps: Map[String, Int], defaultKeep: Int = 0, of: Int = Buckets,
+      salt: String = ""): DataFrame = {
+    require((defaultKeep +: keeps.values.toSeq).forall(k => k >= 0 && k <= of),
+      "every keep must be in [0, of]")
+    val keepExpr = keeps.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultKeep)) { case ((g, k), rest) =>
+        when(col(groupCol) === g, k).otherwise(rest)
+      }
+    df.where(hashBucket(col(idCol), of, salt) < keepExpr)
   }
 
   /** Split label from bucket CUT POINTS (explicit, not float weights — the

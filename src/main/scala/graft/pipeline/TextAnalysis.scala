@@ -62,6 +62,31 @@ object TextAnalysis {
     round(lenOk + stopOk + punctOk, 2)
   }
 
+  /** Word n-grams WITH duplicates (space-joined token windows) — the
+    * multiset [[graft.pipeline.Dedup.shingles]] distincts; repetition
+    * scoring needs the duplicates kept. */
+  private def wordGrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Duplicate word-n-gram fraction in [0,1] — the Gopher-style intra-doc
+    * repetition signal (boilerplate loops, keyword stuffing, decode
+    * glitches): 1 − |distinct n-grams| / |n-grams| over the doc's gram
+    * multiset; 0 for docs shorter than n tokens. Rounded to 6 decimals so
+    * the DuckDB oracle compares exactly. Per-doc scalar over one
+    * higher-order-function pass — no shuffle; the HOF interpretation cost
+    * is linear in doc tokens, fine for a metric column (the quadratic-risk
+    * shingle JOIN paths are what get the compiled kernel in [[Dedup]]). */
+  def repetitionFraction(text: Column, n: Int): Column = {
+    val grams = wordGrams(text, n)
+    round(when(size(grams) <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double")), 6)
+  }
+
   /** Per-language marker words for the n-gram/stopword language heuristic. */
   val LangMarkers: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "is", "en" -> "with",

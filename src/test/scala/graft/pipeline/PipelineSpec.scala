@@ -564,6 +564,96 @@ class PipelineSpec extends SparkTestBase {
       Sampling.sample(docsDf, "doc_id", -1))
   }
 
+  test("sampleByGroup: per-group keeps match the salted driver oracle; salt decorrelates") {
+    import spark.implicits._
+    val docsDf = docs.toDF()
+    def bucketOracle(salt: String, id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + id.toString).getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % 65536
+    }
+    val keeps = Map("en" -> 65536, "de" -> 32768, "fr" -> 16384, "es" -> 8192)
+    val langOf = docs.select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val got = Sampling.sampleByGroup(docsDf, "doc_id", "lang", keeps, salt = "mix1:")
+      .select($"doc_id").as[Long].collect().toSet
+    val want = langOf.collect { case (id, lang)
+        if bucketOracle("mix1:", id) < keeps.getOrElse(lang, 0) => id }.toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < langOf.size)
+    // unlisted groups (zh) are dropped entirely; en kept entirely
+    assert(langOf.collect { case (id, "zh") => id }.toSet.intersect(got).isEmpty)
+    assert(langOf.collect { case (id, "en") => id }.toSet.subsetOf(got))
+    // the salted draw differs from the unsalted one at the same fraction —
+    // distinct pipeline decisions get independent membership
+    assert(langOf.keys.exists(id =>
+      (bucketOracle("", id) < 16384) != (bucketOracle("mix1:", id) < 16384)))
+    val gotSpark = docsDf.select($"doc_id",
+        Sampling.hashBucket($"doc_id", salt = "mix1:"))
+      .as[(Long, Int)].collect().toMap
+    for ((id, _) <- docList)
+      assert(gotSpark(id) == bucketOracle("mix1:", id), s"doc $id")
+    assertThrows[IllegalArgumentException](
+      Sampling.sampleByGroup(docsDf, "doc_id", "lang", Map("en" -> 70000)))
+  }
+
+  test("decontamination: pairs and the surviving corpus match a driver shingle oracle") {
+    import spark.implicits._
+    val evalIds = docList.map(_._1).filter(_ % 17 == 0).toSet
+    val evalDocs = docList.filter(d => evalIds(d._1))
+    val corpusDocs = docList.filterNot(d => evalIds(d._1))
+    val wantPairs = (for {
+      (cid, ctext) <- corpusDocs
+      (eid, etext) <- evalDocs
+      common = oracleShingles(ctext, 3).intersect(oracleShingles(etext, 3)).size
+      if common >= 2
+    } yield (cid, eid, common.toLong)).toSet
+    assert(wantPairs.nonEmpty, "fixture must plant contamination")
+    val corpusDf = docs.where($"doc_id" % 17 =!= 0)
+    val evalDf = docs.where($"doc_id" % 17 === 0)
+    val gotPairs = Decontaminate.contaminationPairs(corpusDf, "doc_id", "text",
+        evalDf, "doc_id", "text", n = 3, minShared = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotPairs == wantPairs)
+    val gotKept = Decontaminate.decontaminate(corpusDf, "doc_id", "text",
+        evalDf, "doc_id", "text", n = 3, minShared = 2L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(gotKept == corpusDocs.map(_._1).toSet -- wantPairs.map(_._1))
+    assertThrows[IllegalArgumentException](
+      Decontaminate.contaminationPairs(corpusDf, "doc_id", "text",
+        evalDf, "doc_id", "text", minShared = 0L))
+  }
+
+  test("repetitionFraction: duplicate-gram fraction matches hand and driver oracles") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a a a a"),     // bigrams [a a, a a, a a] → 1 − 1/3
+      (2L, "a b c d"),     // all distinct → 0
+      (3L, "x y x y x y"), // bigrams [x y, y x, x y, y x, x y] → 1 − 2/5
+      (4L, ""),            // no grams → 0
+      (5L, "solo"))        // shorter than n → 0
+      .toDF("doc_id", "text")
+    val got = rows.select($"doc_id",
+        TextAnalysis.repetitionFraction($"text", 2).as("rep2"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.666667, 2L -> 0.0, 3L -> 0.6, 4L -> 0.0, 5L -> 0.0))
+    // and over the real corpus at n=3, vs Spark's own double rounding
+    val gotDocs = docs.select($"doc_id",
+        TextAnalysis.repetitionFraction($"text", 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    for ((id, text) <- docList) {
+      val toks = text.trim.split("\\s+", -1)
+      val grams =
+        if (toks.length < 3) Seq.empty[String]
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      val want =
+        if (grams.isEmpty) 0.0
+        else BigDecimal(1.0 - grams.distinct.size.toDouble / grams.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gotDocs(id) == want, s"doc $id")
+    }
+  }
+
   test("packByBudget: distributed prefix sum matches the driver oracle at any partition count") {
     import spark.implicits._
     val docsDf = docs.toDF()

@@ -576,6 +576,36 @@ class ScalePlanSpec extends SparkTestBase {
     assert(ranges.nonEmpty, s"expected a range shuffle:\n$plan")
   }
 
+  test("mixing is a shuffle-free filter; decontamination never shuffles the corpus side") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // per-group mix: however many groups the keeps map names, the whole mix
+    // is one codegen'd filter over the scan — zero exchanges
+    val mixPlan = Sampling.sampleByGroup(docs, "doc_id", "lang",
+        Map("en" -> 65536, "de" -> 32768), salt = "mix1:")
+      .queryExecution.executedPlan
+    assert(mixPlan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"mix must not shuffle:\n$mixPlan")
+    // decontamination: the tiny eval side is broadcast, so the corpus
+    // streams into the join with NO exchange beneath it — the only shuffle
+    // is the post-join count aggregate over the matched sliver
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try Decontaminate.contaminationPairs(
+          docs.where($"doc_id" % 17 =!= 0), "doc_id", "text",
+          docs.where($"doc_id" % 17 === 0), "doc_id", "text",
+          n = 3, minShared = 2L).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"eval side must broadcast:\n$plan")
+    val beneath = bhj.flatMap(_.children)
+      .flatMap(_.collect { case e: ShuffleExchangeExec => e })
+    assert(beneath.isEmpty, s"corpus side shuffled before the join:\n$plan")
+  }
+
   test("resize caps the longer side, preserves aspect, dims re-parsed from bytes") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
