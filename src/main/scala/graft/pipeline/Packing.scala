@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -22,6 +21,41 @@ import org.apache.spark.sql.functions._
  */
 object Packing {
 
+  /** Phase one as a lazy plan — the range shuffle plus a NARROW
+    * per-partition running-sum scan (`sortWithinPartitions` + one
+    * `mapPartitions` pass; the textbook per-partition imperative case).
+    * A keyed-window formulation (`partitionBy(spark_partition_id())`)
+    * reads nicer but plans a SECOND full exchange: EnsureRequirements
+    * cannot know rows are already co-located by their own partition id,
+    * so it hash-shuffles on `_pid` again — at 10^12 rows that doubles the
+    * shuffled bytes. This shape has exactly ONE exchange (the range one)
+    * and no window operator at all; factored so the plan audit can gate
+    * that before [[withCumsum]]'s materialization hides it. */
+  private[graft] def localCumsumPlan(df: DataFrame, orderCol: String,
+      valueCol: String, partitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val base = df
+      .select(col(orderCol),
+        coalesce(col(valueCol).cast("long"), lit(0L)).as(valueCol))
+      .repartitionByRange(p, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val outSchema = org.apache.spark.sql.types.StructType(base.schema.fields
+      :+ org.apache.spark.sql.types.StructField("_pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false)
+      :+ org.apache.spark.sql.types.StructField("_local",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    base.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = 0L
+      rows.map { r =>
+        acc += r.getLong(1)
+        org.apache.spark.sql.Row(r.get(0), r.getLong(1), pid, acc)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /**
    * Global running total of `valueCol` in `orderCol` order (inclusive of
    * the current row), as (orderCol, valueCol, `out`) — computed on this
@@ -30,23 +64,6 @@ object Packing {
    * if the full rows are needed. `orderCol` must be unique (it is the
    * tie-break that makes "the" prefix sum well-defined).
    */
-  /** Phase one as a lazy plan — the range shuffle + per-partition running
-    * sum (every window task keyed by its partition, never a global one);
-    * factored so the plan audit can gate the no-global-window property
-    * before [[withCumsum]]'s materialization hides it. */
-  private[graft] def localCumsumPlan(df: DataFrame, orderCol: String,
-      valueCol: String, partitions: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val p = if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val w = Window.partitionBy($"_pid").orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(orderCol), col(valueCol).cast("long").as(valueCol))
-      .repartitionByRange(p, col(orderCol))
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_local", sum(col(valueCol)).over(w))
-  }
 
   def withCumsum(df: DataFrame, orderCol: String, valueCol: String,
       out: String = "cumsum", partitions: Int = 0): DataFrame = {

@@ -548,10 +548,12 @@ class ScalePlanSpec extends SparkTestBase {
     }
   }
 
-  test("global cumsum never plans a single-task global window") {
+  test("global cumsum: one range shuffle, no window operator, narrow scan phase") {
     // the naive `sum over (order by id)` formulation collapses the corpus
-    // into ONE window task; the two-phase operator must keep every window
-    // keyed by its range partition
+    // into ONE window task, and even a partition-keyed window re-shuffles
+    // on the partition id (EnsureRequirements can't see the co-location);
+    // the operator must plan EXACTLY one exchange — the range partitioning
+    // — and no window at all (the running sum is a narrow mapPartitions)
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"n_chars")
@@ -561,19 +563,16 @@ class ScalePlanSpec extends SparkTestBase {
       try Packing.localCumsumPlan(docs, "doc_id", "n_chars", 0)
         .queryExecution.executedPlan
       finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    val windows = plan.collect {
+    assert(plan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"window operator in the cumsum plan:\n$plan")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(windows.nonEmpty)
-    assert(windows.forall(_.partitionSpec.nonEmpty),
-      s"global (un-keyed) window in the cumsum plan:\n$plan")
-    // and the shuffle feeding it is the range partitioning, not a global sort
-    val ranges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-          if e.outputPartitioning
-            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
-    }
-    assert(ranges.nonEmpty, s"expected a range shuffle:\n$plan")
+    assert(shuffles.size == 1, s"expected exactly one exchange:\n$plan")
+    assert(shuffles.head.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+      s"the one exchange must be the range partitioning:\n$plan")
   }
 
   test("mixing is a shuffle-free filter; decontamination never shuffles the corpus side") {
