@@ -680,6 +680,13 @@ class PipelineSpec extends SparkTestBase {
       assert(got == want, s"partitions=$p")
     }
     assert(want.values.toSet.size > 1, "fixture must span multiple packs")
+    // non-long order keys take the generic Row path — same contract
+    val strKeyed = docsDf.select(
+      format_string("k%09d", $"doc_id").as("k"), $"tc")
+    val gotStr = Packing.withCumsum(strKeyed, "k", "tc", partitions = 3)
+      .select($"k", $"cumsum").as[(String, Long)].collect().toMap
+    val wantStr = wantCum.map { case (id, c) => (f"k$id%09d", c) }
+    assert(gotStr == wantStr)
     assertThrows[IllegalArgumentException](
       Packing.packByBudget(docsDf, "doc_id", "tc", 0L))
   }
