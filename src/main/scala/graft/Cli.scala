@@ -34,6 +34,15 @@ import graft.query.{Interactive, Lookups, MissingBoth, MissingEnd, MissingStart,
  *            [--query 0,1,2] [--nlist N] [--k K] [--nprobe P]
  *            (build-once/probe-many ANN: --vectors trains + commits the IVF
  *             index; --query probes the committed index without retraining)
+ *   pipeline --docs <parquet> --output <dir> [--decontam <eval parquet>
+ *            [--ngram N] [--min-shared K]] [--mix-col C --mix g=frac,...
+ *            [--mix-default F]] [--sample F] [--split 0.8,0.1,0.1]
+ *            [--pack <tokenBudget>] [--id-col doc_id] [--text-col text]
+ *            [--salt S]
+ *            (beyond the reference: the training-data shipping pipeline as
+ *            one entrypoint — eval-set decontamination, per-group mix,
+ *            deterministic sample, split labels, sequence packing — stages
+ *            applied in that order, per-stage row counts printed)
  *   dedup    --input <warehouse> --docs <parquet> [--seed | --stream]
  *            (beyond the reference: the incremental text-dedup ladder as an
  *             entrypoint — --seed builds the committed fp/shingle/MinHash
@@ -440,9 +449,69 @@ object Cli {
             case other => usageError(s"unknown --algo $other")
           }
 
+        case Some("pipeline") =>
+          import graft.pipeline.{Decontaminate, Packing, Sampling}
+          val docsPath = arg(args, "docs").getOrElse(usageError("--docs required"))
+          val output = arg(args, "output").getOrElse(usageError("--output required"))
+          val idCol = arg(args, "id-col").getOrElse("doc_id")
+          val textCol = arg(args, "text-col").getOrElse("text")
+          val salt = arg(args, "salt").getOrElse("")
+          def buckets(frac: Double): Int = {
+            if (frac < 0.0 || frac > 1.0) usageError(s"fraction $frac not in [0,1]")
+            math.round(frac * Sampling.Buckets).toInt
+          }
+          var df = spark.read.parquet(docsPath)
+          println(s"input: ${df.count()} rows")
+          for (evalPath <- arg(args, "decontam")) {
+            val n = intArg(args, "ngram").getOrElse(3)
+            val minShared = intArg(args, "min-shared").getOrElse(2).toLong
+            df = Decontaminate.decontaminate(df, idCol, textCol,
+              spark.read.parquet(evalPath),
+              arg(args, "eval-id-col").getOrElse(idCol),
+              arg(args, "eval-text-col").getOrElse(textCol), n, minShared)
+            println(s"after decontam (n=$n, min-shared=$minShared): ${df.count()} rows")
+          }
+          for (mixSpec <- arg(args, "mix")) {
+            val mixCol = arg(args, "mix-col").getOrElse(usageError("--mix needs --mix-col"))
+            val keeps = mixSpec.split(',').map { kv =>
+              kv.split('=') match {
+                case Array(g, f) =>
+                  g -> buckets(try f.toDouble catch {
+                    case _: NumberFormatException => usageError(s"bad mix fraction '$f'") })
+                case _ => usageError(s"--mix expects g=frac[,g=frac...], got '$kv'")
+              }
+            }.toMap
+            val dflt = buckets(doubleArg(args, "mix-default").getOrElse(0.0))
+            df = Sampling.sampleByGroup(df, idCol, mixCol, keeps, dflt, salt = salt)
+            println(s"after mix over $mixCol: ${df.count()} rows")
+          }
+          for (frac <- doubleArg(args, "sample")) {
+            df = Sampling.sample(df, idCol, buckets(frac))
+            println(s"after sample $frac: ${df.count()} rows")
+          }
+          for (splitSpec <- arg(args, "split")) {
+            val fs = splitSpec.split(',').map(f => try f.toDouble catch {
+              case _: NumberFormatException => usageError(s"bad split fraction '$f'") })
+            if (fs.length != 3) usageError("--split expects train,val,test fractions")
+            if (math.abs(fs.sum - 1.0) > 1e-9) usageError("--split fractions must sum to 1")
+            val cuts = Seq("train" -> buckets(fs(0)), "val" -> buckets(fs(0) + fs(1)))
+            df = df.withColumn("split", Sampling.splitLabel(col(idCol), cuts, "test"))
+          }
+          for (budget <- arg(args, "pack")) {
+            val b = try budget.toLong catch {
+              case _: NumberFormatException => usageError(s"bad --pack budget '$budget'") }
+            val toks = graft.pipeline.TextAnalysis.tokenCount(col(textCol)).as("_tc")
+            val packs = Packing.packByBudget(
+              df.select(col(idCol), toks), idCol, "_tc", b)
+            df = df.join(packs, Seq(idCol))
+          }
+          df.write.mode("overwrite").parquet(output)
+          val out = spark.read.parquet(output)
+          println(s"wrote ${out.count()} rows, columns [${out.columns.mkString(", ")}] to $output")
+
         case other =>
           System.err.println(s"unknown command: ${other.getOrElse("")}")
-          System.err.println("usage: convert|query|benchmark|search|ingest|analyze|dedup --input ... [options]")
+          System.err.println("usage: convert|query|benchmark|search|ingest|analyze|dedup|pipeline --input ... [options]")
           sys.exit(2)
       }
     }
