@@ -34,15 +34,18 @@ import graft.query.{Interactive, Lookups, MissingBoth, MissingEnd, MissingStart,
  *            [--query 0,1,2] [--nlist N] [--k K] [--nprobe P]
  *            (build-once/probe-many ANN: --vectors trains + commits the IVF
  *             index; --query probes the committed index without retraining)
- *   pipeline --docs <parquet> --output <dir> [--decontam <eval parquet>
+ *   pipeline --docs <parquet> --output <dir> [--min-quality Q]
+ *            [--max-repetition R [--rep-ngram N]] [--langs en,de]
+ *            [--decontam <eval parquet>
  *            [--ngram N] [--min-shared K]] [--mix-col C --mix g=frac,...
  *            [--mix-default F]] [--sample F] [--split 0.8,0.1,0.1]
  *            [--pack <tokenBudget>] [--id-col doc_id] [--text-col text]
  *            [--salt S]
  *            (beyond the reference: the training-data shipping pipeline as
- *            one entrypoint — eval-set decontamination, per-group mix,
- *            deterministic sample, split labels, sequence packing — stages
- *            applied in that order, per-stage row counts printed)
+ *            one entrypoint — quality gate, eval-set decontamination,
+ *            per-group mix, deterministic sample, split labels, sequence
+ *            packing — stages applied in that order, per-stage row counts
+ *            printed)
  *   dedup    --input <warehouse> --docs <parquet> [--seed | --stream]
  *            (beyond the reference: the incremental text-dedup ladder as an
  *             entrypoint — --seed builds the committed fp/shingle/MinHash
@@ -462,6 +465,20 @@ object Cli {
           }
           var df = spark.read.parquet(docsPath)
           println(s"input: ${df.count()} rows")
+          // quality gate FIRST: the scalar predicates run inside the scan,
+          // shrinking everything downstream (decontam/mix/pack) sees
+          val minQ = doubleArg(args, "min-quality")
+          val maxRep = doubleArg(args, "max-repetition")
+          val langs = arg(args, "langs").map(_.split(',').toSeq).getOrElse(Nil)
+          if (minQ.isDefined || maxRep.isDefined || langs.nonEmpty) {
+            val repN = intArg(args, "rep-ngram").getOrElse(2)
+            df = graft.pipeline.Filtering.qualityFilter(df, idCol, textCol,
+              minQ.getOrElse(0.0), maxRep.getOrElse(1.0), repN, langs)
+            println(s"after quality filter (min-quality=${minQ.getOrElse(0.0)}, " +
+              s"max-repetition=${maxRep.getOrElse(1.0)}, rep-ngram=$repN" +
+              (if (langs.nonEmpty) s", langs=${langs.mkString("/")}" else "") +
+              s"): ${df.count()} rows")
+          }
           for (evalPath <- arg(args, "decontam")) {
             val n = intArg(args, "ngram").getOrElse(3)
             val minShared = intArg(args, "min-shared").getOrElse(2).toLong

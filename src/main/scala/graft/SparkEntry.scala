@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{Bfs, ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.algo.{Bfs, Condense, ConnectedComponents, Hits, LabelPropagation, PageRank, TriangleCount}
 import graft.graph.{Edge, EdgeTable, GraphBuilder}
 import graft.ingest.SynthCorpus
 import graft.pipeline.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
@@ -148,6 +148,39 @@ object SparkEntry {
          |        FROM verts v LEFT JOIN c$i c ON v.id = c.id)""".stripMargin
     }.mkString
     head + steps + s"\nSELECT id, ROUND(rank, 6) AS rank FROM r$iters"
+  }
+
+  /** Unrolled fixed-iteration HITS in portable SQL (the frozen convention of
+    * [[graft.algo.Hits.run]]: init hub=1, per step auth = Σ in-hub then
+    * L1-normalize, hub = Σ out-auth over the NEW auths then L1-normalize;
+    * all-zero sides keep zeros). MATERIALIZED per step or DuckDB re-inlines
+    * the chain exponentially. */
+  private def hitsSql(iters: Int): String = {
+    val head =
+      s"""WITH $GraphCte,
+         |h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM verts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = s"h${i - 1}"
+      s""",
+         |ar$i AS MATERIALIZED (SELECT e.dst AS id, SUM(h.hub) AS raw
+         |        FROM edges e JOIN $p h ON e.src = h.id GROUP BY e.dst),
+         |an$i AS MATERIALIZED (SELECT COALESCE(SUM(raw), 0.0) AS s FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT v.id, COALESCE(r.raw, 0.0) /
+         |        (CASE WHEN (SELECT s FROM an$i) = 0.0 THEN 1.0
+         |              ELSE (SELECT s FROM an$i) END) AS auth
+         |        FROM verts v LEFT JOIN ar$i r ON v.id = r.id),
+         |hr$i AS MATERIALIZED (SELECT e.src AS id, SUM(a.auth) AS raw
+         |        FROM edges e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+         |hn$i AS MATERIALIZED (SELECT COALESCE(SUM(raw), 0.0) AS s FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT v.id, COALESCE(r.raw, 0.0) /
+         |        (CASE WHEN (SELECT s FROM hn$i) = 0.0 THEN 1.0
+         |              ELSE (SELECT s FROM hn$i) END) AS hub
+         |        FROM verts v LEFT JOIN hr$i r ON v.id = r.id)""".stripMargin
+    }.mkString
+    head + steps +
+      s"""
+         |SELECT h.id, ROUND(h.hub, 6) AS hub, ROUND(a.auth, 6) AS auth
+         |FROM h$iters h JOIN a$iters a ON h.id = a.id""".stripMargin
   }
 
   /** Unrolled fixed-iteration label propagation in portable SQL (the frozen
@@ -363,6 +396,23 @@ object SparkEntry {
       res.ranks.select($"id", round($"rank", 6).as("rank"))
     },
 
+    "g_hits" -> { (s, dir) =>
+      import s.implicits._
+      val res = Hits.run(derivedVerts(s, dir), derivedEdges(s, dir), maxIter = 10)
+      res.scores.select($"id", round($"hub", 6).as("hub"),
+        round($"auth", 6).as("auth"))
+    },
+
+    // contraction by a synthetic host map (id mod 53 — the page→site shape;
+    // the LPA/CC-label composition is exercised in AlgoSpec, where the
+    // fixture graph actually has multiple communities: the dense derived
+    // graph here collapses to one)
+    "g_condense" -> { (s, dir) =>
+      import s.implicits._
+      val labels = derivedVerts(s, dir).select($"id", ($"id" % 53).as("label"))
+      Condense.contract(derivedEdges(s, dir), labels)
+    },
+
     // ----- relational operators (TPC-H-ish; integer-cents arithmetic) -----
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
@@ -445,6 +495,18 @@ object SparkEntry {
       Dedup.keepCanonical(docs, "doc_id",
         Dedup.canonicalize(docs, "doc_id",
           Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)))
+    },
+
+    // quality gating (the pipeline's first stage): scalar quality +
+    // repetition predicates fold into the scan; the language restriction
+    // (the one non-scalar signal) runs over scalar-pass survivors only
+    "p_filter" -> { (s, dir) =>
+      import s.implicits._
+      graft.pipeline.Filtering.qualityFilter(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          minQuality = 0.8, maxRepetition = 0.05, repN = 2,
+          langs = Seq("en", "de"))
+        .select($"doc_id", $"lang", $"source")
     },
 
     // deterministic hash sampling/splitting: same rows every run/engine —
@@ -754,6 +816,16 @@ object SparkEntry {
 
     "g_pagerank" -> pagerankSql(10),
 
+    "g_hits" -> hitsSql(10),
+
+    "g_condense" ->
+      s"""WITH $GraphCte
+         |SELECT CAST(src % 53 AS BIGINT) AS src_label,
+         |       CAST(dst % 53 AS BIGINT) AS dst_label,
+         |       CAST(COUNT(*) AS BIGINT) AS weight
+         |FROM edges WHERE (src % 53) <> (dst % 53)
+         |GROUP BY 1, 2""".stripMargin,
+
     "x_lpa" -> lpaSql(5),
 
     "x_route" ->
@@ -835,6 +907,51 @@ object SparkEntry {
       s"""SELECT d.* FROM documents d
          |WHERE d.doc_id IN (
          |  SELECT id FROM (${clustersSql(16)}) c WHERE c.id = c.canonical_id)""".stripMargin,
+
+    // quality gating: the t_quality / t_repetition / t_langid oracle
+    // expressions composed into one WHERE (per-doc signals — filtering
+    // order can't change them, so Spark's survivors-only langid pass is
+    // oracle-identical)
+    "p_filter" ->
+      """WITH qual AS (
+        |  SELECT doc_id, ROUND(
+        |    CAST(length(text) BETWEEN 50 AND 20000 AS DOUBLE) * 0.5
+        |    + LEAST(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        t -> t IN ('the','a','an','and','or','of','to','in','is','on','for','with')))
+        |        AS DOUBLE), 5.0) / 5.0 * 0.3
+        |    + CAST(CAST(length(text) - length(translate(text, '.,!?;:', '')) AS DOUBLE)
+        |           <= CAST(length(text) AS DOUBLE) * 0.1 AS DOUBLE) * 0.2
+        |  , 2) AS quality FROM documents),
+        |rep AS (
+        |  SELECT doc_id,
+        |    ROUND(CASE WHEN len(g2) = 0 THEN 0.0
+        |          ELSE 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) END, 6) AS rep2
+        |  FROM (SELECT doc_id,
+        |          list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+        |                         i -> toks[i] || ' ' || toks[i+1]) AS g2
+        |        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |              FROM documents))),
+        |ltoks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |markers(m_lang, m_tok) AS (VALUES
+        |  ('en','the'),('en','and'),('en','of'),('en','is'),('en','with'),
+        |  ('de','der'),('de','und'),('de','das'),('de','ist'),('de','mit'),
+        |  ('fr','le'),('fr','et'),('fr','les'),('fr','est'),('fr','avec'),
+        |  ('es','el'),('es','y'),('es','los'),('es','es'),('es','con'),
+        |  ('fi','ja'),('fi','on'),('fi','se'),('fi','ei'),('fi','että')),
+        |lhits AS (SELECT doc_id, m_lang, COUNT(*) AS h FROM ltoks
+        |          JOIN markers ON tok = m_tok GROUP BY 1, 2),
+        |ltop AS (SELECT doc_id, m_lang FROM lhits
+        |         QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                    ORDER BY h DESC, m_lang) = 1)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d
+        |JOIN qual q ON d.doc_id = q.doc_id
+        |JOIN rep r ON d.doc_id = r.doc_id
+        |LEFT JOIN ltop t ON d.doc_id = t.doc_id
+        |WHERE q.quality >= 0.8 AND r.rep2 <= 0.05
+        |  AND COALESCE(t.m_lang, 'und') IN ('en', 'de')""".stripMargin,
 
     // deterministic md5-bucket sampling: keep 16384/65536 = 25%
     "p_sample_hash" ->

@@ -1,0 +1,139 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.graph.Edge
+
+/**
+ * HITS (hubs & authorities) over the canonical edge table — the other
+ * classic link-analysis fixpoint next to [[PageRank]] (Kleinberg 1999,
+ * "Authoritative sources in a hyperlinked environment"). On a web link
+ * graph the authority score surfaces the pages everyone points AT and the
+ * hub score the pages that point at good authorities — the reference's
+ * popular-pages listing (reference: README.md's most-linked examples) is
+ * the degree-1 approximation of exactly this.
+ *
+ * Frozen convention (the in-driver [[oracle]] and the SQL oracle in
+ * SparkEntry implement the identical one):
+ *
+ *   - init: hub(v) = 1 for every vertex
+ *   - per superstep: auth(v) = Σ_{u→v} hub(u), then L1-normalize
+ *                    (Σ auth = 1); hub(u) = Σ_{u→v} auth(v) over the NEW
+ *                    authorities, then L1-normalize
+ *   - fixed iteration count (the power iteration converges to the
+ *     principal eigenvectors of AᵀA / AAᵀ; a fixed unroll keeps the SQL
+ *     oracle exact — same discipline as the g_pagerank oracle)
+ *
+ * L1 (sum) normalization instead of the textbook L2: same fixpoint
+ * direction, no sqrt in the per-step SQL, and scores read as a
+ * probability-like distribution. Vertices with no in-edges get auth 0,
+ * no out-edges get hub 0; a side with an all-zero raw sum keeps zeros
+ * (empty-edge graphs degenerate gracefully rather than divide by zero).
+ *
+ * Physical shape per superstep — built for the 100 TB graph, not the
+ * fixture: the auth phase joins hubs⋈edges ON src and the hub phase joins
+ * auths⋈edges ON dst, so the loop caches the edge table TWICE, once
+ * pre-partitioned by each key ([[PageRank]] needs only the src layout).
+ * Every superstep then shuffles only the n-row score side — the m-row edge
+ * side never moves after the two one-time repartitions. Hub in/out-degree
+ * skew is absorbed map-side by the partial hash aggregation. State is
+ * localCheckpoint-ed per superstep (plan depth O(1) across iterations).
+ */
+object Hits {
+
+  case class Result(scores: DataFrame, metrics: Seq[SuperstepMetric], iterations: Int)
+
+  /**
+   * @param vertices single-column `id` frame (every vertex, incl. isolated)
+   * @param maxIter  fixed superstep count (no tolerance early-exit: keeps
+   *                 the unrolled SQL oracle exact; callers wanting
+   *                 convergence detection read the metrics' delta)
+   * @return scores frame (id, hub, auth)
+   */
+  def run(
+      vertices: DataFrame,
+      edges: Dataset[Edge],
+      maxIter: Int = 10): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+
+    val verts = vertices.select(col(vertices.columns.head).as("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    require(n > 0, "empty vertex set")
+    val edgeCount = edges.count()
+
+    // the two one-time edge layouts: each phase's join keys on a different
+    // side of the edge, so each gets the co-located layout it needs — the
+    // per-superstep joins never shuffle the edge side again
+    val edgesBySrc = edges.toDF().repartition($"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgesByDst = edges.toDF().repartition($"dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesBySrc.count(); edgesByDst.count()
+
+    var hubs = verts.withColumn("hub", lit(1.0)).localCheckpoint(true)
+    var auths: DataFrame = verts.withColumn("auth", lit(0.0))
+    val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
+    var iter = 0
+    while (iter < maxIter) {
+      val t0 = System.nanoTime()
+      // auth(v) = Σ_{u→v} hub(u): score side shuffled to the src layout,
+      // partial agg combines hub fan-in map-side before the dst shuffle
+      val aRaw = edgesBySrc
+        .join(hubs.withColumnRenamed("id", "src"), "src")
+        .groupBy($"dst".as("id")).agg(sum($"hub").as("raw"))
+        .localCheckpoint(true)
+      val aTot = aRaw.agg(coalesce(sum($"raw"), lit(0.0))).as[Double].head()
+      auths = verts.join(aRaw, Seq("id"), "left")
+        .select($"id", (coalesce($"raw", lit(0.0)) /
+          lit(if (aTot == 0.0) 1.0 else aTot)).as("auth"))
+        .localCheckpoint(true)
+      // hub(u) = Σ_{u→v} auth(v) over the NEW authorities
+      val hRaw = edgesByDst
+        .join(auths.withColumnRenamed("id", "dst"), "dst")
+        .groupBy($"src".as("id")).agg(sum($"auth").as("raw"))
+        .localCheckpoint(true)
+      val hTot = hRaw.agg(coalesce(sum($"raw"), lit(0.0))).as[Double].head()
+      val newHubs = verts.join(hRaw, Seq("id"), "left")
+        .select($"id", (coalesce($"raw", lit(0.0)) /
+          lit(if (hTot == 0.0) 1.0 else hTot)).as("hub"))
+        .localCheckpoint(true)
+      val delta = newHubs.join(hubs.withColumnRenamed("hub", "old"), "id")
+        .agg(coalesce(max(abs($"hub" - $"old")), lit(0.0))).as[Double].head()
+      hubs = newHubs
+      iter += 1
+      metrics += SuperstepMetric("hits", iter, n, edgeCount,
+        (System.nanoTime() - t0) / 1000000L, delta)
+    }
+    val scores = hubs.join(auths, "id")
+    edgesBySrc.unpersist(); edgesByDst.unpersist(); verts.unpersist()
+    Result(scores, metrics.toSeq, iter)
+  }
+
+  /** In-driver dense power iteration — the frozen oracle for allclose
+    * verification in AlgoSpec. Same convention as [[run]], exactly. */
+  def oracle(
+      n: Int,
+      edges: Seq[(Int, Int)],
+      maxIter: Int = 10): (Array[Double], Array[Double]) = {
+    var hub = Array.fill(n)(1.0)
+    var auth = Array.fill(n)(0.0)
+    for (_ <- 1 to maxIter) {
+      val a = Array.fill(n)(0.0)
+      for ((s, t) <- edges) a(t) += hub(s)
+      val aTot = a.sum
+      if (aTot != 0.0) for (v <- 0 until n) a(v) /= aTot
+      auth = a
+      val h = Array.fill(n)(0.0)
+      for ((s, t) <- edges) h(s) += auth(t)
+      val hTot = h.sum
+      if (hTot != 0.0) for (v <- 0 until n) h(v) /= hTot
+      hub = h
+    }
+    (hub, auth)
+  }
+}

@@ -128,6 +128,70 @@ class AlgoSpec extends SparkTestBase {
     }
   }
 
+  test("HITS matches dense power-iteration oracle to 1e-9 (incl. sinks/sources)") {
+    for ((n, m, seed) <- Seq((80, 400, 31L), (60, 90, 32L))) {
+      // sparse case leaves some vertices with no in- or out-edges — the
+      // zero-score rows must survive normalization untouched
+      val edges = randomDigraph(n, m, seed)
+      val (wantHub, wantAuth) = Hits.oracle(n, edges, maxIter = 10)
+      val res = Hits.run(vertsOf(n), toDs(edges), maxIter = 10)
+      val got = res.scores.collect()
+        .map(r => r.getLong(0).toInt -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(got.size == n)
+      assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9, "hubs sum to 1")
+      assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9, "auths sum to 1")
+      for (v <- 0 until n) {
+        assert(math.abs(got(v)._1 - wantHub(v)) < 1e-9, s"hub($v) n=$n m=$m")
+        assert(math.abs(got(v)._2 - wantAuth(v)) < 1e-9, s"auth($v) n=$n m=$m")
+      }
+      assert(res.iterations == 10 && res.metrics.size == 10)
+    }
+  }
+
+  test("HITS on a star: center is the sole authority, leaves split hub mass") {
+    // leaves 1..4 all point at 0 — auth(0)=1, hub(leaf)=1/4, rest zero
+    val edges = Seq((1, 0), (2, 0), (3, 0), (4, 0))
+    val got = Hits.run(vertsOf(5), toDs(edges), maxIter = 3).scores.collect()
+      .map(r => r.getLong(0).toInt -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(got(0)._2 - 1.0) < 1e-12 && got(0)._1 == 0.0)
+    for (l <- 1 to 4)
+      assert(math.abs(got(l)._1 - 0.25) < 1e-12 && got(l)._2 == 0.0)
+  }
+
+  test("contract by LPA labels: community super-graph matches driver oracle") {
+    // two dense communities bridged by two edges; LPA separates them, and
+    // the contraction must roll the bridges up into the inter-community
+    // super-edges with exact weights
+    val a = for (i <- 0 until 10; j <- 0 until 10 if i != j) yield (i, j)
+    val b = for (i <- 10 until 20; j <- 10 until 20 if i != j) yield (i, j)
+    val edges = a ++ b ++ Seq((0, 10), (15, 3))
+    val labels = LabelPropagation.run(vertsOf(20), toDs(edges), maxIter = 10).labels
+    val labMap = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labMap.values.toSet.size == 2, "LPA must find both communities")
+    val got = Condense.contract(toDs(edges), labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = edges.map { case (s, t) => (labMap(s.toLong), labMap(t.toLong)) }
+      .filter { case (x, y) => x != y }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want)
+    // keepSelfLoops surfaces the within-community weights too
+    val withLoops = Condense.contract(toDs(edges), labels, keepSelfLoops = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wantAll = edges.map { case (s, t) => (labMap(s.toLong), labMap(t.toLong)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(withLoops == wantAll)
+  }
+
+  test("contract: vertices missing from the label map are singleton groups") {
+    import spark.implicits._
+    // only vertex 0 is labeled; 1 and 2 fall back to label = id
+    val edges = Seq((0, 1), (1, 2), (2, 0), (0, 1))
+    val labels = Seq((0L, 100L)).toDF("id", "label")
+    val got = Condense.contract(toDs(edges), labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((100L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 100L) -> 1L))
+  }
+
   test("triangle count matches brute force, global and per-vertex") {
     for ((n, m, seed) <- Seq((50, 300, 21L), (40, 120, 22L))) {
       val edges = randomDigraph(n, m, seed)

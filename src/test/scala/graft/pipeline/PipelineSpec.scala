@@ -880,6 +880,42 @@ class PipelineSpec extends SparkTestBase {
       assert(fps(id) == TextAnalysis.fnv1a64(t))
   }
 
+  test("qualityFilter: each predicate individually decisive; lang gate optional") {
+    import spark.implicits._
+    // one doc per drop reason; every other predicate passes for it, so the
+    // filter's decision isolates exactly the signal under test.
+    // (English stopwords chosen from the NON-marker subset where the
+    // predicted language must not be 'en'.)
+    val fixture = Seq(
+      1L -> ("the report and summary of work is complete with care " +
+        "plus extra wording to clear fifty characters easily"), // kept (en)
+      2L -> "tiny doc the and of is with", // dropped: < 50 chars ⇒ quality 0.5
+      3L -> ("spam ham spam ham spam ham spam ham spam ham spam ham " +
+        "the a an and of plus unique closing words here"), // dropped: rep2
+      4L -> ("der und das ist mit a an or to in kurze worte ohne " +
+        "wiederholung und genug zeichen fuer die laenge hier"), // kept (de)
+      5L -> ("le et les est avec a an or to in petits mots sans " +
+        "repetition et assez de caracteres pour la longueur ici") // fr
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"doc_id").as[Long].collect().toSet
+    val gated = Filtering.qualityFilter(fixture, "doc_id", "text",
+      minQuality = 0.8, maxRepetition = 0.05, repN = 2, langs = Seq("en", "de"))
+    assert(ids(gated) == Set(1L, 4L))
+    assert(gated.columns.toSeq == fixture.columns.toSeq, "original schema kept")
+    // no language restriction ⇒ scalar-only pass keeps the French doc too
+    val scalarOnly = Filtering.qualityFilter(fixture, "doc_id", "text",
+      minQuality = 0.8, maxRepetition = 0.05, repN = 2)
+    assert(ids(scalarOnly) == Set(1L, 4L, 5L))
+    // thresholds at their no-op extremes keep everything
+    assert(ids(Filtering.qualityFilter(fixture, "doc_id", "text")) ==
+      Set(1L, 2L, 3L, 4L, 5L))
+    // invalid thresholds fail loudly
+    intercept[IllegalArgumentException] {
+      Filtering.qualityFilter(fixture, "doc_id", "text", minQuality = 1.5)
+    }
+  }
+
   test("multimodal: payload plumbing, batch decode stub, frame sampling") {
     import spark.implicits._
     val media = Multimodal.withMedia(docs, "doc_id", "text")
