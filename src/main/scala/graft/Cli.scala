@@ -438,6 +438,25 @@ object Cli {
             case "triangles" =>
               val res = graft.algo.TriangleCount.run(verts, graph.edges)
               println(s"triangles: ${res.globalCount}")
+            case "anf" =>
+              // neighborhood function / effective diameter; --approx runs
+              // the HyperBall sketch path (the web-scale one), default the
+              // exact pair-frontier BFS
+              val maxT = intArg(args, "max-t").getOrElse(8)
+              val res =
+                if (args.contains("--approx"))
+                  graft.algo.Neighborhood.hyperBall(verts, graph.edges, maxT,
+                    intArg(args, "log2m").getOrElse(6))
+                else graft.algo.Neighborhood.exact(verts, graph.edges, maxT)
+              res.counts.orderBy($"t").collect().foreach { r =>
+                val c = r.get(1) match {
+                  case l: java.lang.Long => l.toString
+                  case d: java.lang.Double => f"${d.doubleValue}%.1f"
+                }
+                println(s"  N(${r.getInt(0)}) = $c")
+              }
+              println(f"effective diameter (q=0.9): " +
+                f"${graft.algo.Neighborhood.effectiveDiameter(res.counts, 0.9)}%.2f")
             case "bfs" =>
               val startUrl = arg(args, "start").getOrElse(usageError("--start required for bfs"))
               val start = Lookups.point(graph.pages, startUrl)

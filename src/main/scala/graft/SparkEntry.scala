@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{Bfs, Condense, ConnectedComponents, Hits, LabelPropagation, PageRank, TriangleCount}
+import graft.algo.{Bfs, Condense, ConnectedComponents, Hits, LabelPropagation, Neighborhood, PageRank, TriangleCount}
 import graft.graph.{Edge, EdgeTable, GraphBuilder}
 import graft.ingest.SynthCorpus
 import graft.pipeline.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
@@ -413,6 +413,12 @@ object SparkEntry {
       Condense.contract(derivedEdges(s, dir), labels)
     },
 
+    // exact neighborhood function (the verification twin; x_anf_hll is the
+    // HyperBall scale path, gated by NeighborhoodSpec tolerance instead)
+    "g_anf" -> { (s, dir) =>
+      Neighborhood.exact(derivedVerts(s, dir), derivedEdges(s, dir), maxT = 4).counts
+    },
+
     // ----- relational operators (TPC-H-ish; integer-cents arithmetic) -----
     "q1_agg" -> { (s, dir) =>
       import s.implicits._
@@ -742,6 +748,11 @@ object SparkEntry {
       LabelPropagation.run(derivedVerts(s, dir), derivedEdges(s, dir), maxIter = 5).labels
     },
 
+    "x_anf_hll" -> { (s, dir) =>
+      Neighborhood.hyperBall(derivedVerts(s, dir), derivedEdges(s, dir),
+        maxT = 4, log2m = 6).counts
+    },
+
     // ----- no SQL oracle (rows-only driver check) -----
     // (the synthetic-corpus golden route is exercised by entry() itself,
     // which the driver smoke-checks, and by GoldenSpec/RoutesSpec)
@@ -817,6 +828,22 @@ object SparkEntry {
     "g_pagerank" -> pagerankSql(10),
 
     "g_hits" -> hitsSql(10),
+
+    // cumulative reachable-pair counts per distance tier (neighborhood
+    // function): recursive walk from EVERY vertex, min distance per pair,
+    // tiered by generate_series — t beyond saturation repeats the fixpoint
+    // on both sides
+    "g_anf" ->
+      s"""WITH RECURSIVE $GraphCte,
+         |walk(s, n, d) AS (
+         |  SELECT id, id, 0 FROM verts
+         |  UNION
+         |  SELECT w.s, e.dst, w.d + 1 FROM edges e JOIN walk w ON e.src = w.n
+         |  WHERE w.d < 4),
+         |mind AS (SELECT s, n, MIN(d) AS d FROM walk GROUP BY 1, 2)
+         |SELECT CAST(ts.t AS INT) AS t, CAST(COUNT(*) AS BIGINT) AS pairs
+         |FROM mind CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS t) ts
+         |WHERE mind.d <= ts.t GROUP BY 1""".stripMargin,
 
     "g_condense" ->
       s"""WITH $GraphCte
