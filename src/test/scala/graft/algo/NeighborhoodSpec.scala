@@ -99,6 +99,35 @@ class NeighborhoodSpec extends SparkTestBase {
     }
   }
 
+  test("register_max union runs as ObjectHashAggregate with map-side partials") {
+    import spark.implicits._
+    import graft.functions.RegisterMax.register_max
+    // the HyperBall superstep's aggregation shape: hub fan-in must combine
+    // map-side (one m-byte buffer per task), never collect-then-fold
+    // Seq[Byte], not Array[Byte]: the latter encodes as BinaryType, and
+    // register_max speaks array<tinyint> (what the HOF init produces)
+    val regs = Seq(
+      (1L, Seq[Byte](1, 0, 3)), (1L, Seq[Byte](0, 2, 1)),
+      (2L, Seq[Byte](5, 0, 0))).toDF("id", "regs")
+    val agg = regs.groupBy($"id").agg(register_max($"regs").as("regs"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("register_max"),
+      s"expected the TypedImperativeAggregate in the plan:\n$plan")
+    assert(plan.contains("partial_register_max"),
+      s"map-side partial aggregation must be present:\n$plan")
+    val got = agg.collect().map(r => r.getLong(0) ->
+      r.getSeq[Byte](1).toSeq).toMap
+    assert(got == Map(1L -> Seq[Byte](1, 2, 3), 2L -> Seq[Byte](5, 0, 0)))
+    // mixed register counts are a build-parameter violation, loud failure
+    val bad = Seq((1L, Seq[Byte](1, 2)), (1L, Seq[Byte](1, 2, 3)))
+      .toDF("id", "regs")
+    val e = intercept[org.apache.spark.SparkException] {
+      bad.groupBy($"id").agg(register_max($"regs")).collect()
+    }
+    assert(e.getMessage.contains("mixed register counts") ||
+      e.getCause != null, s"unexpected failure shape: ${e.getMessage}")
+  }
+
   test("effective diameter: interpolated quantile on a known path graph") {
     // directed path 0→1→…→9: N(t) = Σ_v min(t+1, n-v) computed directly
     val n = 10

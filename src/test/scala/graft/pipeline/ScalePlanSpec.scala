@@ -575,6 +575,27 @@ class ScalePlanSpec extends SparkTestBase {
       s"the one exchange must be the range partitioning:\n$plan")
   }
 
+  test("scalar-only quality filter is shuffle-free; lang gate joins ids-only") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // quality + repetition predicates fold into the scan: zero exchanges
+    val scalarPlan = Filtering.qualityFilter(docs, "doc_id", "text",
+        minQuality = 0.8, maxRepetition = 0.05, repN = 2)
+      .queryExecution.executedPlan
+    assert(scalarPlan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"scalar-only filter must not shuffle:\n$scalarPlan")
+    // with the lang gate the rejoin is a left-semi on the id key — document
+    // bytes never enter the langid aggregation's shuffles
+    val gated = Filtering.qualityFilter(docs, "doc_id", "text",
+      minQuality = 0.8, maxRepetition = 0.05, repN = 2, langs = Seq("en"))
+    // optimized logical plan: AQE hides the physical join until execution
+    val semi = gated.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j }
+    assert(semi.nonEmpty, "lang gate must rejoin as a left-semi on ids")
+  }
+
   test("mixing is a shuffle-free filter; decontamination never shuffles the corpus side") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
