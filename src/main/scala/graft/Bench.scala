@@ -28,10 +28,12 @@ object Bench {
   /** Representative subset of SparkEntry.queries for per-round timing. */
   private val Headline = Seq(
     "g_edges", "g_degrees", "g_adjacency", "g_triangles", "g_cc", "g_bfs",
-    "g_pagerank", "q1_agg", "q_join_revenue", "q_window_events",
+    "g_pagerank", "g_hits", "g_anf", "g_condense",
+    "q1_agg", "q_join_revenue", "q_window_events",
     "d_exact", "d_jaccard", "d_minhash_lsh", "d_minhash_incr",
     "d_clusters", "d_clusters_warm", "d_passages", "d_passages_incr",
-    "t_langid", "s_ann_topk", "s_neardup", "x_simhash_pairs", "p_pack")
+    "t_langid", "s_ann_topk", "s_neardup", "x_simhash_pairs", "p_pack",
+    "p_filter")
 
   /** Fixed single-thread CPU spin (2e8 xorshift steps), timed — the
     * CALIBRATION scalar: it has no I/O, no JVM-warmup sensitivity beyond

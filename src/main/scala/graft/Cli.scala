@@ -25,7 +25,7 @@ import graft.query.{Interactive, Lookups, MissingBoth, MissingEnd, MissingStart,
  *   ingest   --input <pages_raw dir> --output <warehouse> [--compact-over N]
  *            (beyond the reference: continuous convert — drains new crawl
  *             files into idempotent fast-append commits; re-run to tail)
- *   analyze  --input <warehouse> --algo pagerank|cc|lpa|triangles|bfs
+ *   analyze  --input <warehouse> --algo pagerank|hits|cc|lpa|triangles|bfs|anf
  *            [--state DIR] [--iters N] [--start URL]
  *            (beyond the reference: the north-rule iterative algorithms as
  *             a spark-submit entrypoint; with --state every superstep
@@ -438,6 +438,22 @@ object Cli {
             case "triangles" =>
               val res = graft.algo.TriangleCount.run(verts, graph.edges)
               println(s"triangles: ${res.globalCount}")
+            case "hits" =>
+              // hubs & authorities; with --state every superstep commits
+              // and a re-run resumes mid-algorithm like pagerank
+              val res = log() match {
+                case Some(l) =>
+                  graft.algo.Hits.runResumable(verts, graph.edges, l, maxIter = iters)
+                case None =>
+                  graft.algo.Hits.run(verts, graph.edges, maxIter = iters)
+              }
+              printSteps(res.metrics)
+              println("top pages by authority:")
+              res.scores.join(graph.pages, "id")
+                .orderBy($"auth".desc, $"id").limit(10)
+                .select($"url",
+                  org.apache.spark.sql.functions.round($"auth", 6).as("auth"))
+                .collect().foreach(r => println(f"  ${r.getDouble(1)}%.6f  ${r.getString(0)}"))
             case "anf" =>
               // neighborhood function / effective diameter; --approx runs
               // the HyperBall sketch path (the web-scale one), default the

@@ -198,6 +198,58 @@ object PlanAudit {
         docsDf.filter(col("doc_id") % 17 === 0), "doc_id", "text",
         n = 3, minShared = 2L))
 
+    // HITS gather phase (round 6): the superstep's join+agg seam — expect
+    // the edge side read from its cached src layout (no Exchange under it;
+    // only the n-row score side shuffles) and a partial_sum before the
+    // final dst aggregate (hub fan-in combines map-side). Broadcast is
+    // disabled so the audit shows the big-graph shape, not the fixture's.
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val hitsEdges = SparkEntry.derivedEdges(spark, dir).toDF()
+      .repartition(col("src")).persist()
+    hitsEdges.count()
+    val hubs0 = SparkEntry.derivedVerts(spark, dir).withColumn("hub", lit(1.0))
+    show("hits-gather-auth")(
+      graft.algo.Hits.gatherStep(hitsEdges, hubs0, "hub", "src", "dst"))
+    hitsEdges.unpersist()
+
+    // HyperBall superstep (round 6): expect ObjectHashAggregate with
+    // partial_register_max (sketch union combines map-side) and the edge
+    // side read from its cached dst layout — state O(n·m) flat in t
+    val nbEdges = SparkEntry.derivedEdges(spark, dir).toDF()
+      .repartition(col("dst")).persist()
+    nbEdges.count()
+    val m0 = 64
+    val h0 = xxhash64(lit(42L), col("id"))
+    val counters0 = SparkEntry.derivedVerts(spark, dir).select(col("id"),
+      transform(sequence(lit(0), lit(m0 - 1)),
+        i => when(i === pmod(h0, lit(m0.toLong)).cast("int"),
+          lit(1).cast("byte")).otherwise(lit(0).cast("byte"))).as("regs"))
+    show("hyperball-union-step")(
+      graft.algo.Neighborhood.unionStep(nbEdges, counters0))
+    nbEdges.unpersist()
+
+    // graph contraction (round 6): two id-keyed equi-joins against the
+    // label map + one hash aggregate with a partial phase — the super-edge
+    // rollup combines map-side, so a giant community arrives at the
+    // shuffle as one row per task
+    val condLabels = SparkEntry.derivedVerts(spark, dir)
+      .select(col("id"), pmod(col("id"), lit(53L)).as("label"))
+    show("condense-rollup")(
+      graft.algo.Condense.contract(
+        SparkEntry.derivedEdges(spark, dir), condLabels))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+
+    // quality gate (round 6): the scalar-only filter must be ZERO-exchange
+    // (predicates fold into the scan); the lang-gated variant rejoins as a
+    // LEFT-SEMI on ids — document bytes never enter the langid shuffles
+    show("quality-filter-scalar")(
+      graft.pipeline.Filtering.qualityFilter(docsDf, "doc_id", "text",
+        minQuality = 0.8, maxRepetition = 0.05, repN = 2))
+    show("quality-filter-lang-semi")(
+      graft.pipeline.Filtering.qualityFilter(docsDf, "doc_id", "text",
+        minQuality = 0.8, maxRepetition = 0.05, repN = 2, langs = Seq("en")))
+
     spark.stop()
   }
 }

@@ -45,6 +45,16 @@ object Hits {
 
   case class Result(scores: DataFrame, metrics: Seq[SuperstepMetric], iterations: Int)
 
+  /** One gather phase (the loop body's join+agg, exposed as a lazy seam for
+    * the plan audit): scores flow TO the edge layout keyed `joinKey`, sums
+    * group by the opposite endpoint `outKey`. The edge side is already
+    * partitioned by `joinKey`, so only the score side shuffles. */
+  private[graft] def gatherStep(edgesByKey: DataFrame, scores: DataFrame,
+      scoreCol: String, joinKey: String, outKey: String): DataFrame =
+    edgesByKey.join(scores.withColumnRenamed("id", joinKey), joinKey)
+      .groupBy(col(outKey).as("id"))
+      .agg(sum(col(scoreCol)).as("raw"))
+
   /**
    * @param vertices single-column `id` frame (every vertex, incl. isolated)
    * @param maxIter  fixed superstep count (no tolerance early-exit: keeps
@@ -83,9 +93,7 @@ object Hits {
       val t0 = System.nanoTime()
       // auth(v) = Σ_{u→v} hub(u): score side shuffled to the src layout,
       // partial agg combines hub fan-in map-side before the dst shuffle
-      val aRaw = edgesBySrc
-        .join(hubs.withColumnRenamed("id", "src"), "src")
-        .groupBy($"dst".as("id")).agg(sum($"hub").as("raw"))
+      val aRaw = gatherStep(edgesBySrc, hubs, "hub", "src", "dst")
         .localCheckpoint(true)
       val aTot = aRaw.agg(coalesce(sum($"raw"), lit(0.0))).as[Double].head()
       auths = verts.join(aRaw, Seq("id"), "left")
@@ -93,9 +101,7 @@ object Hits {
           lit(if (aTot == 0.0) 1.0 else aTot)).as("auth"))
         .localCheckpoint(true)
       // hub(u) = Σ_{u→v} auth(v) over the NEW authorities
-      val hRaw = edgesByDst
-        .join(auths.withColumnRenamed("id", "dst"), "dst")
-        .groupBy($"src".as("id")).agg(sum($"auth").as("raw"))
+      val hRaw = gatherStep(edgesByDst, auths, "auth", "dst", "src")
         .localCheckpoint(true)
       val hTot = hRaw.agg(coalesce(sum($"raw"), lit(0.0))).as[Double].head()
       val newHubs = verts.join(hRaw, Seq("id"), "left")
@@ -110,6 +116,67 @@ object Hits {
         (System.nanoTime() - t0) / 1000000L, delta)
     }
     val scores = hubs.join(auths, "id")
+    edgesBySrc.unpersist(); edgesByDst.unpersist(); verts.unpersist()
+    Result(scores, metrics.toSeq, iter)
+  }
+
+  /**
+   * Resumable fixed-iteration HITS: every superstep's (id, hub, auth) state
+   * commits through [[graft.state.Supersteps]]; on start the loop continues
+   * from the last committed superstep (kill the JVM at any point, re-run,
+   * reach the same final state — each superstep consumes the COMMITTED
+   * bytes of the previous one, the same discipline as
+   * [[PageRank.runResumable]]).
+   */
+  def runResumable(
+      vertices: DataFrame,
+      edges: Dataset[Edge],
+      log: graft.state.Supersteps,
+      maxIter: Int = 10): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val verts = vertices.select(col(vertices.columns.head).as("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    require(n > 0, "empty vertex set")
+    val edgeCount = edges.count()
+    val edgesBySrc = edges.toDF().repartition($"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgesByDst = edges.toDF().repartition($"dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesBySrc.count(); edgesByDst.count()
+
+    var iter = log.lastCompleted.getOrElse(-1)
+    var scores =
+      if (iter < 0) {
+        val init = verts.withColumn("hub", lit(1.0)).withColumn("auth", lit(0.0))
+        iter = 0
+        log.commit(0, init, SuperstepMetric("hits", 0, n, 0L, 0L, -1.0))
+      } else log.readState()
+    val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
+    while (iter < maxIter) {
+      val t0 = System.nanoTime()
+      val hubs = scores.select($"id", $"hub")
+      val aRaw = gatherStep(edgesBySrc, hubs, "hub", "src", "dst")
+        .localCheckpoint(true)
+      val aTot = aRaw.agg(coalesce(sum($"raw"), lit(0.0))).as[Double].head()
+      val auths = verts.join(aRaw, Seq("id"), "left")
+        .select($"id", (coalesce($"raw", lit(0.0)) /
+          lit(if (aTot == 0.0) 1.0 else aTot)).as("auth"))
+        .localCheckpoint(true)
+      val hRaw = gatherStep(edgesByDst, auths, "auth", "dst", "src")
+        .localCheckpoint(true)
+      val hTot = hRaw.agg(coalesce(sum($"raw"), lit(0.0))).as[Double].head()
+      val newScores = verts.join(hRaw, Seq("id"), "left")
+        .select($"id", (coalesce($"raw", lit(0.0)) /
+          lit(if (hTot == 0.0) 1.0 else hTot)).as("hub"))
+        .join(auths, "id")
+      iter += 1
+      val m = SuperstepMetric("hits", iter, n, edgeCount,
+        (System.nanoTime() - t0) / 1000000L, -1.0)
+      scores = log.commit(iter, newScores, m)
+      metrics += m
+    }
     edgesBySrc.unpersist(); edgesByDst.unpersist(); verts.unpersist()
     Result(scores, metrics.toSeq, iter)
   }

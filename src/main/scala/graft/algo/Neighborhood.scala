@@ -31,7 +31,8 @@ import graft.functions.RegisterMax.register_max
  */
 object Neighborhood {
 
-  case class Result(counts: DataFrame, iterations: Int)
+  case class Result(counts: DataFrame, metrics: Seq[SuperstepMetric],
+      iterations: Int)
 
   /**
    * Exact N(t) for t = 0..maxT via frontier-delta multi-source BFS: only
@@ -57,7 +58,9 @@ object Neighborhood {
     val counts = scala.collection.mutable.ArrayBuffer((0, cum))
     var t = 1
     var iterations = 0
+    val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
     while (t <= maxT && !frontier.isEmpty) {
+      val t0 = System.nanoTime()
       val expanded = frontier.join(edgesBySrc, frontier("n") === edgesBySrc("src"))
         .select(frontier("s"), edgesBySrc("dst").as("n")).distinct()
       val newPairs = expanded.join(visited, Seq("s", "n"), "left_anti")
@@ -68,11 +71,28 @@ object Neighborhood {
       visited = visited.union(newPairs).localCheckpoint(true)
       frontier = newPairs
       iterations = t
+      metrics += SuperstepMetric("anf-exact", t, c, 0L,
+        (System.nanoTime() - t0) / 1000000L, c.toDouble)
       t += 1
     }
     while (t <= maxT) { counts += ((t, cum)); t += 1 } // saturated tail
     edgesBySrc.unpersist(); verts.unpersist()
-    Result(counts.toSeq.toDF("t", "pairs"), iterations)
+    Result(counts.toSeq.toDF("t", "pairs"), metrics.toSeq, iterations)
+  }
+
+  /** One HyperBall superstep (the loop body, exposed as a lazy seam for the
+    * plan audit): gather out-neighbors' sketches through the dst-layout
+    * edge cache, union with the vertex's own, fold by [[RegisterMax]] —
+    * only the n-row counter side shuffles, and the hub fan-in combines
+    * map-side into one m-byte buffer per task. */
+  private[graft] def unionStep(edgesByDst: DataFrame,
+      counters: DataFrame): DataFrame = {
+    val spark = counters.sparkSession
+    import spark.implicits._
+    edgesByDst.join(counters.withColumnRenamed("id", "dst"), "dst")
+      .select($"src".as("id"), $"regs")
+      .union(counters)
+      .groupBy($"id").agg(register_max($"regs").as("regs"))
   }
 
   /** alpha_m bias constant (Flajolet et al. 2007). */
@@ -158,23 +178,22 @@ object Neighborhood {
     var t = 1
     var iterations = 0
     var saturated = false
+    val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
     while (t <= maxT && !saturated) {
-      val contrib = edgesByDst
-        .join(counters.withColumnRenamed("id", "dst"), "dst")
-        .select($"src".as("id"), $"regs")
-      counters = contrib.union(counters)
-        .groupBy($"id").agg(register_max($"regs").as("regs"))
-        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      counters = unionStep(edgesByDst, counters).localCheckpoint(true)
       val est = estimate(counters)
       saturated = est == cum // monotone registers: a fixpoint is permanent
       cum = est
       counts += ((t, cum))
       iterations = t
+      metrics += SuperstepMetric("anf-hyperball", t, n, 0L,
+        (System.nanoTime() - t0) / 1000000L, est)
       t += 1
     }
     while (t <= maxT) { counts += ((t, cum)); t += 1 }
     edgesByDst.unpersist(); verts.unpersist()
-    Result(counts.toSeq.toDF("t", "pairs"), iterations)
+    Result(counts.toSeq.toDF("t", "pairs"), metrics.toSeq, iterations)
   }
 
   /** Effective diameter at quantile q from a counts frame ((t, pairs),

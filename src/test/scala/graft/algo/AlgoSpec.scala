@@ -158,6 +158,48 @@ class AlgoSpec extends SparkTestBase {
       assert(math.abs(got(l)._1 - 0.25) < 1e-12 && got(l)._2 == 0.0)
   }
 
+  test("HITS gather: cached edge layout is never re-shuffled by the superstep") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val edges = toDs(randomDigraph(60, 200, seed = 33L)).toDF()
+      .repartition($"src").persist()
+    edges.count()
+    val hubs = vertsOf(60).withColumn("hub", lit(1.0))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Hits.gatherStep(edges, hubs, "hub", "src", "dst")
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      // exactly two shuffles: the n-row score side to the edges' src
+      // layout, and the final dst aggregation — the m-row edge side reads
+      // straight from its cached partitioning
+      assert(exchanges.size == 2, s"expected 2 exchanges:\n$plan")
+      // the join's edge-side child must go straight to the cache: no
+      // Exchange between the InMemoryTableScan and the join
+      val join = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.getOrElse(fail(s"no shuffled join in plan:\n$plan"))
+      val edgeSide = join.children.filter(
+        _.collectFirst { case s: InMemoryTableScanExec => s }.nonEmpty)
+      assert(edgeSide.nonEmpty, s"edge cache not under the join:\n$plan")
+      assert(edgeSide.forall(
+          _.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+        s"edge cache must not sit under a shuffle:\n$plan")
+      assert(plan.toString.contains("partial_sum"),
+        s"hub fan-in must combine map-side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      edges.unpersist()
+    }
+  }
+
   test("contract by LPA labels: community super-graph matches driver oracle") {
     // two dense communities bridged by two edges; LPA separates them, and
     // the contraction must roll the bridges up into the inter-community

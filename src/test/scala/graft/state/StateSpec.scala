@@ -267,6 +267,46 @@ class StateSpec extends SparkTestBase {
     assert(lin.tail.forall(_("edgesProcessed").toLong == edges.size.toLong))
   }
 
+  test("resume: killed-after-k HITS equals uninterrupted run byte-for-byte") {
+    import spark.implicits._
+    import graft.algo.Hits
+    val rng = new java.util.Random(37)
+    val edges = (0 until 400).map(_ => (rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val eds = spark.createDataset(edges.map(e => Edge(e._1, e._2)))
+    val verts = spark.range(80).toDF("id")
+
+    val rootA = tmp()
+    val full = Hits.runResumable(verts, eds,
+      new Supersteps(rootA, "hits", spark), maxIter = 6)
+
+    val rootB = tmp()
+    Hits.runResumable(verts, eds,
+      new Supersteps(rootB, "hits", spark), maxIter = 2)
+    val logB2 = new Supersteps(rootB, "hits", spark)
+    assert(logB2.lastCompleted.contains(2))
+    val resumed = Hits.runResumable(verts, eds, logB2, maxIter = 6)
+
+    val a = full.scores.as[(Long, Double, Double)].collect().sortBy(_._1)
+    val b = resumed.scores.as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(a.length == b.length)
+    for (((ia, ha, aa), (ib, hb, ab)) <- a.zip(b)) {
+      assert(ia == ib)
+      assert(java.lang.Double.doubleToLongBits(ha) ==
+             java.lang.Double.doubleToLongBits(hb), s"hub $ia: $ha vs $hb")
+      assert(java.lang.Double.doubleToLongBits(aa) ==
+             java.lang.Double.doubleToLongBits(ab), s"auth $ia: $aa vs $ab")
+    }
+    // and the committed path agrees with the in-memory loop to 1e-12
+    val mem = Hits.run(verts, eds, maxIter = 6).scores
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    for (((ia, ha, aa), (im, hm, am)) <- a.zip(mem)) {
+      assert(ia == im)
+      assert(math.abs(ha - hm) < 1e-12 && math.abs(aa - am) < 1e-12)
+    }
+    assert(logB2.lineage.map(_("superstep").toInt) == (0 to 6))
+  }
+
   test("resume: CC and LPA interrupted runs equal uninterrupted runs exactly") {
     import spark.implicits._
     import graft.algo.{ConnectedComponents, LabelPropagation}
