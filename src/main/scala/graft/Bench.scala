@@ -32,8 +32,8 @@ object Bench {
     "q1_agg", "q_join_revenue", "q_window_events",
     "d_exact", "d_jaccard", "d_minhash_lsh", "d_minhash_incr",
     "d_clusters", "d_clusters_warm", "d_passages", "d_passages_incr",
-    "t_langid", "s_ann_topk", "s_neardup", "x_simhash_pairs", "p_pack",
-    "p_filter")
+    "t_langid", "s_ann_topk", "s_neardup", "x_neardup_incr",
+    "x_simhash_pairs", "p_pack", "p_filter")
 
   /** Fixed single-thread CPU spin (2e8 xorshift steps), timed — the
     * CALIBRATION scalar: it has no I/O, no JVM-warmup sensitivity beyond

@@ -32,8 +32,15 @@ import graft.query.{Interactive, Lookups, MissingBoth, MissingEnd, MissingStart,
  *             commits to Iceberg-lite and a re-run resumes mid-algorithm)
  *   analyze  --algo ann-index --input <warehouse> [--vectors <parquet>]
  *            [--query 0,1,2] [--nlist N] [--k K] [--nprobe P]
+ *            [--append-vectors <parquet> [--neardup <threshold>]]
+ *            [--stream-vectors <dir>]
  *            (build-once/probe-many ANN: --vectors trains + commits the IVF
- *             index; --query probes the committed index without retraining)
+ *             index; --query probes the committed index without retraining;
+ *             --append-vectors fast-appends at the frozen quantizer, and
+ *             with --neardup also emits the batch's incremental near-dup
+ *             pairs — the committed corpus is never re-paired;
+ *             --stream-vectors drains a growing directory through the
+ *             streaming sink, with --neardup as continuous SemDeDup)
  *   pipeline --docs <parquet> --output <dir> [--min-quality Q]
  *            [--max-repetition R [--rep-ngram N]] [--langs en,de]
  *            [--decontam <eval parquet>
@@ -316,13 +323,45 @@ object Cli {
                 s"(${s.rowCount} vectors, nlist=${s.properties.getOrElse("nlist", "?")})")
           }
           // incremental maintenance: assign a new batch with the committed
-          // (frozen) quantizer and fast-append it — no retraining
+          // (frozen) quantizer and fast-append it — no retraining. With
+          // --neardup <threshold>, the append also emits the batch's
+          // incremental near-dup pairs (new-vs-corpus + new-vs-new, the
+          // committed corpus never re-paired) BEFORE the index mutates.
           arg(args, "append-vectors").foreach { p =>
-            graft.pipeline.Similarity.appendToIvfIndex(
-              spark.read.parquet(p), idCol, vecCol, wh)
+            val batch = spark.read.parquet(p)
+            arg(args, "neardup") match {
+              case Some(thr) =>
+                val t0 = System.nanoTime()
+                val pairs = graft.pipeline.Similarity.embeddingNearDupIncremental(
+                  batch, idCol, vecCol, wh, threshold = thr.toDouble).collect()
+                println(f"incremental near-dup: ${pairs.length} pair(s) " +
+                  f"involving the batch in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+                pairs.foreach(r => println(s"  ${r.getLong(0)} ~ ${r.getLong(1)}"))
+              case None =>
+                graft.pipeline.Similarity.appendToIvfIndex(batch, idCol, vecCol, wh)
+            }
             val s = cat.currentSnapshot("ann_ivf_cells").get
             println(s"appended ${s.properties("appendedRows")} vectors " +
               s"(snapshot ${s.snapshotId}, ${s.rowCount} total)")
+          }
+          // continuous maintenance: drain a growing embeddings directory
+          // through the streaming sink (AvailableNow trigger); with
+          // --neardup each micro-batch's incremental pairs land in
+          // ann_ivf_pairs before its cells append
+          arg(args, "stream-vectors").foreach { dir =>
+            val thr = arg(args, "neardup").map(_.toDouble).getOrElse(Double.NaN)
+            graft.streaming.IndexStream.run(spark, dir, wh,
+              idCol, vecCol, neardupThreshold = thr) match {
+              case Some(q) =>
+                q.awaitTermination()
+                val s = cat.currentSnapshot("ann_ivf_cells").get
+                println(s"streamed to snapshot ${s.snapshotId} (${s.rowCount} vectors total)")
+                if (!thr.isNaN) {
+                  val ps = cat.currentSnapshot("ann_ivf_pairs")
+                  println(s"near-dup pairs table: ${ps.map(_.rowCount).getOrElse(0L)} pair(s)")
+                }
+              case None => println(s"no input under $dir — nothing streamed")
+            }
           }
           def printProbe(label: String, t0: Long,
               rows: Array[org.apache.spark.sql.Row]): Unit = {

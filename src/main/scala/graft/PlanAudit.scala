@@ -102,6 +102,21 @@ object PlanAudit {
       graft.pipeline.Similarity.embeddingNearDupIvfIndexed(spark, wh,
         threshold = 0.45, blocks = 8))
 
+    // incremental embedding near-dup (late round 6): the batch assigned at
+    // the FROZEN committed quantizer against a file-PRUNED read of ONLY the
+    // cells the batch touched; both sides then repartition on the composite
+    // (cell, bi, bj) block-pair key (the same skew-bounding shuffle as
+    // above) — expect the corpus scan restricted to the pruned manifest
+    // subset and no cartesian anywhere
+    val incrCs = cat.read(spark, "ann_ivf_centroids")
+      .select($"cell", $"cvec").as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
+    val incrBatch = graft.pipeline.Similarity.assignCells(
+      spark.read.parquet(s"$dir/embeddings.parquet").filter($"vec_id" >= 400L),
+      "vec_id", "embedding", incrCs)
+    show("neardup-incremental-pruned")(
+      graft.pipeline.Similarity.embeddingIncrPlan(cat, "ann_ivf", incrBatch,
+        threshold = 0.45))
+
     // committed LSH probe (round 5): bucket table read must list only the
     // files whose bucket range intersects the probe set; ranking stays the
     // bounded-heap aggregate, no Window, no re-bucketing of the corpus

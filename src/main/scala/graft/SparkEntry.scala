@@ -67,6 +67,26 @@ object SparkEntry {
     tbl(s, dir, "documents").agg(max($"doc_id")).head().getAs[Number](0).longValue / 2
   }
 
+  private def embHalfOf(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    tbl(s, dir, "embeddings").agg(max($"vec_id")).head().getAs[Number](0).longValue / 2
+  }
+
+  /** The embedding pillar's committed history: the IVF index built over
+    * the first half of the vectors plus its previous near-dup pairs — the
+    * ANN twin of [[incrHistory]], same build-once / price-only-the-
+    * increment economics. */
+  private def annIncrHistory(s: SparkSession, dir: String): String =
+    incrHistories.computeIfAbsent(dir + "#ann", _ => {
+      import s.implicits._
+      val wh = scratch("annhist")
+      val oldVecs = tbl(s, dir, "embeddings").filter($"vec_id" <= embHalfOf(s, dir))
+      Similarity.buildIvfIndex(oldVecs, "vec_id", "embedding", wh, nlist = 16)
+      Similarity.embeddingNearDupIvfIndexed(s, wh, threshold = 0.45)
+        .write.parquet(s"$wh/prev_neardup")
+      wh
+    })
+
   private def incrHistory(s: SparkSession, dir: String): String =
     incrHistories.computeIfAbsent(dir, _ => {
       import s.implicits._
@@ -770,6 +790,26 @@ object SparkEntry {
     "x_neardup_ivf" -> ((s, dir) =>
       Similarity.embeddingNearDupIvf(tbl(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45, nlist = 16)),
+
+    // incremental SemDeDup over corpus growth — the embedding modality's
+    // committed-index increment (the ladder's fourth pillar). Rows-only:
+    // the IVF-celled pair set is quantizer-dependent, so the union
+    // contract prev ∪ incr == post-append full is spec-gated in
+    // AnnIndexSpec instead of SQL-oracled
+    "x_neardup_incr" -> { (s, dir) =>
+      import s.implicits._
+      val wh = annIncrHistory(s, dir)
+      val cat = new graft.tables.IcebergLite(wh)
+      val cs = cat.read(s, "ann_ivf_centroids").select($"cell", $"cvec")
+        .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
+      // lazy checkpoint: the nearest-cell kernel (the increment's dominant
+      // CPU term) runs ONCE, not once per downstream branch of the plan
+      val cells = Similarity.assignCells(
+        tbl(s, dir, "embeddings").filter($"vec_id" > embHalfOf(s, dir)),
+        "vec_id", "embedding", cs).localCheckpoint(false)
+      s.read.parquet(s"$wh/prev_neardup")
+        .union(Similarity.embeddingIncrPlan(cat, "ann_ivf", cells, threshold = 0.45))
+    },
 
     // feature-extract stage: the deterministic outputs (format from the
     // byte-level header parse, frame count) are oracle-gated; the stubbed

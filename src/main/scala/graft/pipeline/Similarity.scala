@@ -619,16 +619,39 @@ object Similarity {
       warehouse: String, table: String = "ann_ivf",
       extraProps: Map[String, String] = Map.empty,
       compactOver: Int = 0, expireKeep: Int = 0): Unit = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val cat = new graft.tables.IcebergLite(warehouse)
-    val cs = cat.read(spark, s"${table}_centroids")
+    val cs = committedCentroids(vectors.sparkSession, cat, table)
+    appendAssigned(assignCells(vectors, idCol, vecCol, cs), cat, table, cs,
+      extraProps, compactOver, expireKeep)
+  }
+
+  /** The committed quantizer, collected (nlist rows — the same driver-side
+    * footprint every probe path pays). */
+  private[graft] def committedCentroids(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.tables.IcebergLite, table: String): Seq[(Int, Array[Float])] = {
+    import spark.implicits._
+    cat.read(spark, s"${table}_centroids")
       .select($"cell", $"cvec")
       .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
+  }
+
+  /** The append body over an already-computed (id, vec, cell) assignment —
+    * the seam [[embeddingNearDupIncremental]] uses so the nearest-cell
+    * kernel runs ONCE per batch (it already assigned the batch for the
+    * pair computation; re-assigning inside the append would double the
+    * increment's dominant CPU term, the same hazard the drift aggregate's
+    * cache closed). */
+  private[graft] def appendAssigned(assigned: DataFrame,
+      cat: graft.tables.IcebergLite, table: String,
+      cs: Seq[(Int, Array[Float])],
+      extraProps: Map[String, String] = Map.empty,
+      compactOver: Int = 0, expireKeep: Int = 0): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     // the batch's assignment feeds BOTH the committed write and the drift
     // aggregate — computed once and cached (the nearest-cell kernel is the
     // append's dominant CPU term; running it twice doubled the append)
-    val cells = assignCells(vectors, idCol, vecCol, cs)
+    val cells = assigned
       .repartitionByRange(math.max(1, math.min(cs.size, 8)), $"cell")
       .persist()
     // DRIFT SIGNAL: the quantizer is frozen by design, so tell the operator
@@ -828,6 +851,122 @@ object Similarity {
       table: String = "ann_ivf", blocks: Int = 8): DataFrame =
     cellPairs(new graft.tables.IcebergLite(warehouse).read(spark, s"${table}_cells"),
       threshold, blocks)
+
+  /** Bipartite twin of [[cellPairs]]: within-cell pairs with one side from
+    * each frame (sides assumed id-disjoint — the new-batch-vs-corpus
+    * shape), same skew discipline: both sides block-hashed, every B×B
+    * block pair joined on the composite (cell, bi, bj) key with the pinned
+    * repartition, so a hot cell spreads over B² bounded tasks and AQE
+    * cannot re-pack the compute-quadratic groups. */
+  private[graft] def cellPairsBipartite(newSide: DataFrame, oldSide: DataFrame,
+      threshold: Double, blocks: Int = 8): DataFrame = {
+    val spark = newSide.sparkSession
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+    val bpairs = (for (i <- 0 until blocks; j <- 0 until blocks) yield (i, j))
+    val bpairsDf = broadcast(bpairs.toDF("bi", "bj"))
+    val l = newSide.select($"id", $"vec", $"cell",
+        pmod(xxhash64($"id", lit(0x5eedL)), lit(blocks)).as("blk"))
+      .join(bpairsDf, $"blk" === $"bi")
+      .select($"id".as("ia"), $"vec".as("va"), $"cell", $"bi", $"bj")
+      .repartition(p, $"cell", $"bi", $"bj")
+    val r = oldSide.select($"id", $"vec", $"cell",
+        pmod(xxhash64($"id", lit(0x5eedL)), lit(blocks)).as("blk"))
+      .join(bpairsDf, $"blk" === $"bj")
+      .select($"id".as("ib"), $"vec".as("vb"), $"cell", $"bi", $"bj")
+      .repartition(p, $"cell", $"bi", $"bj")
+    l.join(r, Seq("cell", "bi", "bj"))
+      .filter(round(cosine($"va", $"vb"), 6) >= threshold)
+      .select(least($"ia", $"ib").as("a"), greatest($"ia", $"ib").as("b"))
+  }
+
+  /** Small-batch twin of [[cellPairsBipartite]]: the batch side explicitly
+    * broadcast, the corpus side STREAMED through the hash join with zero
+    * shuffle — the same corpus-never-shuffles invariant the text pillars'
+    * incremental joins have. Skew needs no block discipline here: per-task
+    * work is (corpus rows in task) × (batch rows in the same cell), bounded
+    * by the batch, and a hot corpus cell already spreads across its data
+    * files. The blocked-shuffle twin remains the big-batch path (a batch
+    * too large to broadcast replicating B× is still cheaper than OOM). */
+  private[graft] def cellPairsBipartiteBroadcast(newSide: DataFrame,
+      oldSide: DataFrame, threshold: Double): DataFrame = {
+    val spark = newSide.sparkSession
+    import spark.implicits._
+    val l = newSide.select($"id".as("ia"), $"vec".as("va"), $"cell")
+    val r = oldSide.select($"id".as("ib"), $"vec".as("vb"), $"cell")
+    r.join(broadcast(l), Seq("cell"))
+      .filter(round(cosine($"va", $"vb"), 6) >= threshold)
+      .select(least($"ia", $"ib").as("a"), greatest($"ia", $"ib").as("b"))
+  }
+
+  /**
+   * Incremental SemDeDup: the embedding modality's analog of the text
+   * ladder's `*PairsIncremental` operators — when a batch of new vectors
+   * arrives, return EXACTLY the within-cell near-dup pairs involving ≥1
+   * new vector, against the committed index's FROZEN quantizer, then
+   * fast-append the batch. The committed corpus is never re-paired:
+   * [[embeddingNearDupIvfIndexed]] recomputes all Σcell² work per call,
+   * this computes (batch_cell × cell) + batch_cell² only.
+   *
+   * Reads: the centroid table (nlist rows), then a manifest-PRUNED read of
+   * the cells table restricted to the cells the batch actually landed in —
+   * on a well-spread index a small batch touches few cells and the
+   * untouched cells' files are never listed.
+   *
+   * Contract (spec-gated): `cellPairs(old index) ∪ incremental ==
+   * cellPairs(index after append)` at the committed quantizer. Same
+   * compute-then-append crash discipline as the text pillars: the pairs
+   * frame is materialized BEFORE the append mutates the table, so a crash
+   * mid-call just retries.
+   *
+   * @return (a, b) near-dup pairs involving at least one batch vector
+   */
+  def embeddingNearDupIncremental(batch: DataFrame, idCol: String,
+      vecCol: String, warehouse: String, threshold: Double,
+      table: String = "ann_ivf", blocks: Int = 8,
+      broadcastRows: Long = 100000L,
+      compactOver: Int = 0, expireKeep: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    val cat = new graft.tables.IcebergLite(warehouse)
+    val cs = committedCentroids(spark, cat, table)
+    val batchCells = assignCells(batch, idCol, vecCol, cs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = embeddingIncrPlan(cat, table, batchCells, threshold, blocks,
+        broadcastRows)
+      .localCheckpoint(true) // materialize BEFORE the append mutates the table
+    appendAssigned(batchCells, cat, table, cs,
+      compactOver = compactOver, expireKeep = expireKeep)
+    batchCells.unpersist()
+    out
+  }
+
+  /** The increment's pair plan WITHOUT the append — the no-append seam the
+    * bench/driver queries use so repeated invocations never mutate the
+    * committed history (the same split every text pillar has:
+    * `jaccardIncrPlan`/`winnowIncrPlan`/`minhashIncrPlan`).
+    * `batchCells` is the batch already assigned at the FROZEN committed
+    * quantizer ([[assignCells]] over the centroid table). */
+  private[graft] def embeddingIncrPlan(cat: graft.tables.IcebergLite,
+      table: String, batchCells: DataFrame, threshold: Double,
+      blocks: Int = 8, broadcastRows: Long = 100000L): DataFrame = {
+    val spark = batchCells.sparkSession
+    import spark.implicits._
+    // the batch's cell set is bounded by nlist (quantizer-sized collect,
+    // the same class as every probe path's) and drives the file pruning
+    val touched = batchCells.select($"cell").distinct().as[Int].collect()
+    val oldCells = cat.readPruned(spark, s"${table}_cells",
+        touched.map(_.toLong).toSet)
+      .filter($"cell".isin(touched.toSeq: _*))
+    // path switch on the batch's actual size (callers persist/checkpoint
+    // batchCells, so the count is a cached-frame pass, not a recompute):
+    // the usual increment broadcasts and the corpus never shuffles; a bulk
+    // backfill falls back to the skew-blocked shuffle join
+    val bipartite =
+      if (batchCells.count() <= broadcastRows)
+        cellPairsBipartiteBroadcast(batchCells, oldCells, threshold)
+      else cellPairsBipartite(batchCells, oldCells, threshold, blocks)
+    bipartite.union(cellPairs(batchCells, threshold, blocks))
+  }
 
   // ---------------------------------------------------------------------------
   // Build-once / probe-many: the LSH bucket table committed to Iceberg-lite

@@ -125,6 +125,49 @@ class AnnIndexSpec extends SparkTestBase {
     assert(top._3 == 9999L && top._4 == 1.0, s"got $top")
   }
 
+  test("incremental near-dup: prev ∪ incremental == post-append full, no retrain") {
+    import spark.implicits._
+    val wh = tmp()
+    val old = embs.filter($"vec_id" < 400L)
+    // batches are exact duplicates of committed vectors under shifted ids:
+    // an identical vector lands in the SAME cell by definition, so each
+    // batch is guaranteed within-cell cosine-1.0 pairs regardless of how
+    // the trained quantizer happens to split the random fixture
+    val batch = embs.filter($"vec_id" >= 100L && $"vec_id" < 130L)
+      .withColumn("vec_id", $"vec_id" + lit(1000L))
+    val batch2 = embs.filter($"vec_id" >= 200L && $"vec_id" < 220L)
+      .withColumn("vec_id", $"vec_id" + lit(2000L))
+    Similarity.buildIvfIndex(old, "vec_id", "embedding", wh, nlist = 16)
+    val trained = Similarity.trainInvocations.get()
+    val thr = 0.45
+    def pairsNow(): Set[(Long, Long)] =
+      Similarity.embeddingNearDupIvfIndexed(spark, wh, thr)
+        .as[(Long, Long)].collect().toSet
+    val prev = pairsNow()
+
+    val incr = Similarity.embeddingNearDupIncremental(batch, "vec_id",
+        "embedding", wh, thr).as[(Long, Long)].collect().toSet
+    assert(Similarity.trainInvocations.get() == trained,
+      "the increment must use the frozen quantizer, never retrain")
+    val newIds = batch.select($"vec_id").as[Long].collect().toSet
+    assert(incr.forall(p => newIds.contains(p._1) || newIds.contains(p._2)),
+      "every incremental pair involves >= 1 new vector")
+    assert(incr.intersect(prev).isEmpty, "old x old never recomputed")
+    val full = pairsNow() // the index now holds old ∪ batch
+    assert(prev.union(incr) == full,
+      s"union contract: prev ${prev.size} + incr ${incr.size} vs full ${full.size}")
+    assert(incr.nonEmpty, "fixture sanity: the batch must produce pairs")
+
+    // second increment composes over the append chain — forced down the
+    // big-batch BLOCKED path (broadcastRows = 0), so both bipartite joins
+    // are contract-gated
+    val incr2 = Similarity.embeddingNearDupIncremental(batch2, "vec_id",
+        "embedding", wh, thr, broadcastRows = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(incr2.nonEmpty, "fixture sanity: second batch must produce pairs")
+    assert(full.union(incr2) == pairsNow(), "second increment composes")
+  }
+
   test("external-vector probe: no index scan for queries, consistent with id probe") {
     import spark.implicits._
     val wh = tmp()

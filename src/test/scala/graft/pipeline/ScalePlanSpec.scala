@@ -393,7 +393,8 @@ class ScalePlanSpec extends SparkTestBase {
     * committed index (under `wh`) must be a bucketed scan, and no Shuffle/
     * Broadcast Exchange may sit between it and the join that consumes it. */
   private def corpusSideViolations(
-      root: org.apache.spark.sql.execution.SparkPlan, wh: String): Seq[String] = {
+      root: org.apache.spark.sql.execution.SparkPlan, wh: String,
+      requireBucketed: Boolean = true): Seq[String] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     val bad = scala.collection.mutable.ArrayBuffer[String]()
@@ -402,7 +403,7 @@ class ScalePlanSpec extends SparkTestBase {
     // exposed = subtree holds a corpus scan no join has consumed yet
     def exposed(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
       case s: FileSourceScanExec =>
-        if (isCorpus(s) && !s.bucketedScan)
+        if (isCorpus(s) && requireBucketed && !s.bucketedScan)
           bad += s"corpus scan is not bucketed: ${s.nodeName}"
         isCorpus(s)
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
@@ -468,6 +469,53 @@ class ScalePlanSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS `${cat.catalogName("shingle_index")}`")
       spark.sql(s"DROP TABLE IF EXISTS `${cat.catalogName("shingle_index_sizes")}`")
       spark.sql(s"DROP TABLE IF EXISTS `${cat.catalogName("fp_index")}`")
+    }
+  }
+
+  test("embedding increment: small batch broadcast, corpus cells never shuffled; big batch blocked") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val wh = java.nio.file.Files.createTempDirectory("graft-annplan").toString
+    Similarity.buildIvfIndex(embs.filter($"vec_id" < 400L), "vec_id",
+      "embedding", wh, nlist = 16)
+    val cat = new graft.tables.IcebergLite(wh)
+    val cs = cat.read(spark, "ann_ivf_centroids").select($"cell", $"cvec")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
+    val batch = Similarity.assignCells(embs.filter($"vec_id" >= 400L),
+      "vec_id", "embedding", cs).localCheckpoint(true)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // AQE off so the tree is walkable; auto-broadcast off so the only
+      // BroadcastExchange in the plan is the operator's EXPLICIT batch hint
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val small = Similarity.embeddingIncrPlan(cat, "ann_ivf", batch,
+        threshold = 0.45).queryExecution.executedPlan
+      // corpus side: scanned (pruned), consumed by its join with NO exchange
+      // in between — the text pillars' corpus-never-shuffles invariant
+      // (requireBucketed off: the cells table is range-clustered, not bucketed)
+      val v = corpusSideViolations(small, wh, requireBucketed = false)
+      assert(v.isEmpty, s"${v.mkString("; ")}\n$small")
+      assert(small.collect { case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(wh)) => s
+        }.nonEmpty, s"walk saw no corpus scan\n$small")
+      // batch side: exactly the explicit broadcast carries it to the join
+      assert(small.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+        s"expected the explicit batch broadcast\n$small")
+      // big-batch path (broadcastRows = 0): blocked-shuffle join — both sides
+      // exchange on the composite block-pair key, still no cartesian
+      val big = Similarity.embeddingIncrPlan(cat, "ann_ivf", batch,
+        threshold = 0.45, broadcastRows = 0L).queryExecution.executedPlan
+      val planStr = big.toString
+      assert(!planStr.contains("CartesianProduct") &&
+        !planStr.contains("BroadcastNestedLoopJoin"), s"cartesian in\n$big")
+      assert(big.collect { case e: ShuffleExchangeExec => e }.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
 

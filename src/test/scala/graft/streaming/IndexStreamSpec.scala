@@ -67,6 +67,83 @@ class IndexStreamSpec extends SparkTestBase {
     assert(top.count() == 3)
   }
 
+  test("continuous SemDeDup: streamed pairs == the incremental contract; crash window converges") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val wh = tmp()
+    val inputDir = tmp()
+    Similarity.buildIvfIndex(emb.filter($"vec_id" < 400), "vec_id", "embedding",
+      wh, nlist = 16)
+    val cat = new IcebergLite(wh)
+    val thr = 0.45
+    def fullPairs(): Set[(Long, Long)] =
+      Similarity.embeddingNearDupIvfIndexed(spark, wh, thr)
+        .as[(Long, Long)].collect().toSet
+    def streamedPairs(): Set[(Long, Long)] =
+      cat.read(spark, "ann_ivf_pairs").select($"a", $"b")
+        .as[(Long, Long)].collect().toSet
+    val prev = fullPairs()
+
+    // segment 1: exact duplicates of committed vectors under shifted ids
+    // (guaranteed same-cell pairs regardless of the trained quantizer)
+    emb.filter($"vec_id" >= 100 && $"vec_id" < 130)
+      .withColumn("vec_id", $"vec_id" + lit(1000L))
+      .write.mode("append").parquet(inputDir)
+    IndexStream.run(spark, inputDir, wh, neardupThreshold = thr)
+      .get.awaitTermination()
+    val p1 = streamedPairs()
+    assert(p1.nonEmpty && p1.intersect(prev).isEmpty,
+      "streamed pairs are new, never a recompute of the committed corpus")
+    assert(prev.union(p1) == fullPairs(),
+      "pairs table holds exactly the increment: prev ∪ streamed == full")
+
+    // segment 2 composes over the append chain
+    val full1 = fullPairs()
+    emb.filter($"vec_id" >= 200 && $"vec_id" < 220)
+      .withColumn("vec_id", $"vec_id" + lit(2000L))
+      .write.mode("append").parquet(inputDir)
+    IndexStream.run(spark, inputDir, wh, neardupThreshold = thr)
+      .get.awaitTermination()
+    val pAll = streamedPairs()
+    assert(p1.subsetOf(pAll), "the pairs table accumulates")
+    assert(full1.union(pAll.diff(p1)) == fullPairs(), "second segment composes")
+
+    // replay: checkpoint knows every file — no new snapshot on EITHER table
+    val cellSnaps = cat.snapshots("ann_ivf_cells").size
+    val pairSnaps = cat.snapshots("ann_ivf_pairs").size
+    IndexStream.run(spark, inputDir, wh, neardupThreshold = thr)
+      .get.awaitTermination()
+    assert(cat.snapshots("ann_ivf_cells").size == cellSnaps)
+    assert(cat.snapshots("ann_ivf_pairs").size == pairSnaps)
+
+    // crash window: pairs committed, cells not (the pairs-then-cells order's
+    // one partial state). Simulate by running ONLY the pairs half for a new
+    // batch, then let the replayed micro-batch converge: pairs must NOT
+    // double-append, cells must land, union contract must hold at the end.
+    val batchId = cat.currentSnapshot("ann_ivf_cells").get
+      .properties("batchId").toLong + 1
+    val crashBatch = emb.filter($"vec_id" >= 300 && $"vec_id" < 320)
+      .withColumn("vec_id", $"vec_id" + lit(3000L))
+    val cs = Similarity.committedCentroids(spark, cat, "ann_ivf")
+    val crashCells = Similarity.assignCells(crashBatch, "vec_id", "embedding", cs)
+      .localCheckpoint(true)
+    cat.append(Similarity.embeddingIncrPlan(cat, "ann_ivf", crashCells, thr)
+      .localCheckpoint(true), "ann_ivf_pairs", Map("batchId" -> batchId.toString))
+    val fullBeforeReplay = fullPairs() // cells never landed: index unchanged
+    assert(fullBeforeReplay == fullPairs())
+    // the replayed micro-batch (same batchId) converges
+    IndexStream.neardupBatch(cat, "ann_ivf", "ann_ivf_pairs", crashBatch,
+      "vec_id", "embedding", thr, batchId)
+    assert(cat.currentSnapshot("ann_ivf_pairs").get.properties("batchId").toLong
+      == batchId, "pairs not double-appended")
+    assert(cat.snapshots("ann_ivf_pairs").size == pairSnaps + 1)
+    val pFinal = streamedPairs()
+    assert(prev.union(pFinal) == fullPairs(),
+      "after crash-replay convergence the union contract still holds")
+    assert(pFinal.diff(pAll).nonEmpty, "the crash batch's pairs are present once")
+  }
+
   test("removed checkpoint (batch-id regression) fails loudly instead of dropping data") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
