@@ -28,7 +28,7 @@ object Bench {
   /** Representative subset of SparkEntry.queries for per-round timing. */
   private val Headline = Seq(
     "g_edges", "g_degrees", "g_adjacency", "g_triangles", "g_cc", "g_bfs",
-    "g_pagerank", "g_hits", "g_anf", "g_condense",
+    "g_pagerank", "g_ppr", "g_hits", "g_anf", "g_condense", "g_walks",
     "q1_agg", "q_join_revenue", "q_window_events",
     "d_exact", "d_jaccard", "d_minhash_lsh", "d_minhash_incr",
     "d_clusters", "d_clusters_warm", "d_passages", "d_passages_incr",

@@ -477,6 +477,40 @@ object Cli {
             case "triangles" =>
               val res = graft.algo.TriangleCount.run(verts, graph.edges)
               println(s"triangles: ${res.globalCount}")
+            case "walks" =>
+              // deterministic hash-seeded walks (reproducible walk corpus);
+              // --steps hops from every page, --seed decorrelates epochs
+              val steps = intArg(args, "steps").getOrElse(4)
+              val seed = arg(args, "seed").getOrElse("walk")
+              val trace = graft.algo.RandomWalks.deterministic(
+                verts, graph.edges, steps, seed).persist()
+              val walks = trace.groupBy($"start")
+                .agg(org.apache.spark.sql.functions.max($"step").as("len"))
+              walks.groupBy($"len").count().orderBy($"len").collect()
+                .foreach(r => println(s"walks of length ${r.getInt(0)}: ${r.getLong(1)}"))
+              println(s"sample walks (seed=$seed):")
+              trace.filter($"start" < 3).orderBy($"start", $"step")
+                .collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach {
+                  case (st, rows) => println(
+                    s"  $st: " + rows.sortBy(_.getInt(1)).map(_.getLong(2)).mkString(" -> "))
+                }
+              trace.unpersist()
+            case "ppr" =>
+              // personalized PageRank: proximity to the seed set (related
+              // pages / seed-expanded crawl); teleport + dangling mass go
+              // to the sources
+              val sources = arg(args, "sources").getOrElse(usageError(
+                "--sources id[,id...] required for --algo ppr"))
+                .split(",").toSeq.map(_.trim.toLong)
+              val res = graft.algo.PageRank.personalized(verts, graph.edges,
+                sources, maxIter = iters)
+              printSteps(res.metrics)
+              println(s"top pages by proximity to ${sources.mkString(",")}:")
+              res.ranks.join(graph.pages, "id")
+                .orderBy($"rank".desc, $"id").limit(10)
+                .select($"url",
+                  org.apache.spark.sql.functions.round($"rank", 6).as("rank"))
+                .collect().foreach(r => println(f"  ${r.getDouble(1)}%.6f  ${r.getString(0)}"))
             case "hits" =>
               // hubs & authorities; with --state every superstep commits
               // and a re-run resumes mid-algorithm like pagerank

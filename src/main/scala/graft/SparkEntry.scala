@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{Bfs, Condense, ConnectedComponents, Hits, LabelPropagation, Neighborhood, PageRank, TriangleCount}
+import graft.algo.{Bfs, Condense, ConnectedComponents, Hits, LabelPropagation, Neighborhood, PageRank, RandomWalks, TriangleCount}
 import graft.graph.{Edge, EdgeTable, GraphBuilder}
 import graft.ingest.SynthCorpus
 import graft.pipeline.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
@@ -168,6 +168,59 @@ object SparkEntry {
          |        FROM verts v LEFT JOIN c$i c ON v.id = c.id)""".stripMargin
     }.mkString
     head + steps + s"\nSELECT id, ROUND(rank, 6) AS rank FROM r$iters"
+  }
+
+  /** Unrolled fixed-iteration PERSONALIZED PageRank in portable SQL — the
+    * [[pagerankSql]] recurrence with the restart AND dangling mass CASEd to
+    * the source set (the frozen convention of [[PageRank.personalized]]).
+    * Per-step arithmetic order mirrors the operator exactly the way
+    * pagerankSql does (the rank/deg vs rank·(1/deg) difference washes out
+    * under ROUND 6 — the proven g_pagerank tolerance class). */
+  private def pprSql(iters: Int, sources: Seq[Long]): String = {
+    val srcIds = sources.distinct
+    val k = srcIds.size
+    val inList = srcIds.mkString(", ")
+    val head =
+      s"""WITH $GraphCte,
+         |outdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT id, CASE WHEN id IN ($inList) THEN 1.0/$k.0 ELSE 0.0 END AS rank FROM verts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s""",
+         |d$i AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm FROM $p r
+         |        LEFT JOIN outdeg o ON r.id = o.src WHERE o.src IS NULL),
+         |c$i AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / o.deg) AS contrib
+         |        FROM edges e JOIN $p r ON e.src = r.id
+         |        JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+         |r$i AS MATERIALIZED (SELECT v.id,
+         |        CASE WHEN v.id IN ($inList)
+         |             THEN (1.0 - 0.85)/$k.0 + 0.85 * (SELECT dm FROM d$i)/$k.0
+         |             ELSE 0.0 END
+         |          + 0.85 * COALESCE(c.contrib, 0.0) AS rank
+         |        FROM verts v LEFT JOIN c$i c ON v.id = c.id)""".stripMargin
+    }.mkString
+    head + steps + s"\nSELECT id, ROUND(rank, 6) AS rank FROM r$iters"
+  }
+
+  /** Unrolled deterministic random walks in portable SQL — the frozen hop
+    * rule of [[RandomWalks.deterministic]]: arg_min over the md5 ordering
+    * key, computed on the identical string in both engines. */
+  private def walksSql(steps: Int, seed: String): String = {
+    val head =
+      s"""WITH $GraphCte,
+         |w0 AS MATERIALIZED (SELECT id AS start, id AS cur FROM verts)""".stripMargin
+    val stepCtes = (1 to steps).map { t =>
+      val p = s"w${t - 1}"
+      s""",
+         |w$t AS MATERIALIZED (SELECT w.start,
+         |        arg_min(e.dst, concat(md5(concat_ws(':', '$seed', '$t', w.cur, e.dst)),
+         |                              lpad(CAST(e.dst AS VARCHAR), 20, '0'))) AS cur
+         |        FROM $p w JOIN edges e ON w.cur = e.src GROUP BY w.start)""".stripMargin
+    }.mkString
+    val unions = (1 to steps).map(t =>
+      s"UNION ALL SELECT start, $t AS step, cur AS vertex FROM w$t").mkString("\n")
+    head + stepCtes +
+      s"\nSELECT id AS start, 0 AS step, id AS vertex FROM verts\n$unions"
   }
 
   /** Unrolled fixed-iteration HITS in portable SQL (the frozen convention of
@@ -415,6 +468,21 @@ object SparkEntry {
         tol = 0.0, maxIter = 10)
       res.ranks.select($"id", round($"rank", 6).as("rank"))
     },
+
+    // personalized PageRank: teleport + dangling mass to the source set —
+    // proximity-to-seeds ranking (related pages, seed-expanded crawl)
+    "g_ppr" -> { (s, dir) =>
+      import s.implicits._
+      val res = PageRank.personalized(derivedVerts(s, dir),
+        derivedEdges(s, dir), sources = Seq(0L, 1L, 7L), maxIter = 10)
+      res.ranks.select($"id", round($"rank", 6).as("rank"))
+    },
+
+    // deterministic random walks: hash-seeded hop choice, so the walk
+    // corpus is exactly reproducible — the graph-structured sampler
+    "g_walks" -> ((s, dir) =>
+      RandomWalks.deterministic(derivedVerts(s, dir), derivedEdges(s, dir),
+        steps = 4)),
 
     "g_hits" -> { (s, dir) =>
       import s.implicits._
@@ -866,6 +934,10 @@ object SparkEntry {
          |SELECT n AS id, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY n""".stripMargin,
 
     "g_pagerank" -> pagerankSql(10),
+
+    "g_ppr" -> pprSql(10, Seq(0L, 1L, 7L)),
+
+    "g_walks" -> walksSql(4, "walk"),
 
     "g_hits" -> hitsSql(10),
 

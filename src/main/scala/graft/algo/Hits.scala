@@ -92,21 +92,26 @@ object Hits {
     while (iter < maxIter) {
       val t0 = System.nanoTime()
       // auth(v) = Σ_{u→v} hub(u): score side shuffled to the src layout,
-      // partial agg combines hub fan-in map-side before the dst shuffle
+      // partial agg combines hub fan-in map-side before the dst shuffle.
+      // The gather is checkpointed ONCE (it feeds both the normalize and
+      // the L1 total — without the checkpoint, exchange reuse does NOT
+      // dedupe the two references and the m-row join runs twice: measured
+      // 12.7 → 24.2 s at sf0.1); the total then folds into the normalize
+      // plan as a broadcast scalar instead of a separate driver action
       val aRaw = gatherStep(edgesBySrc, hubs, "hub", "src", "dst")
         .localCheckpoint(true)
-      val aTot = aRaw.agg(coalesce(sum($"raw"), lit(0.0))).as[Double].head()
       auths = verts.join(aRaw, Seq("id"), "left")
-        .select($"id", (coalesce($"raw", lit(0.0)) /
-          lit(if (aTot == 0.0) 1.0 else aTot)).as("auth"))
+        .crossJoin(broadcast(aRaw.agg(coalesce(sum($"raw"), lit(0.0)).as("t"))
+          .select(when($"t" === 0.0, lit(1.0)).otherwise($"t").as("t"))))
+        .select($"id", (coalesce($"raw", lit(0.0)) / $"t").as("auth"))
         .localCheckpoint(true)
       // hub(u) = Σ_{u→v} auth(v) over the NEW authorities
       val hRaw = gatherStep(edgesByDst, auths, "auth", "dst", "src")
         .localCheckpoint(true)
-      val hTot = hRaw.agg(coalesce(sum($"raw"), lit(0.0))).as[Double].head()
       val newHubs = verts.join(hRaw, Seq("id"), "left")
-        .select($"id", (coalesce($"raw", lit(0.0)) /
-          lit(if (hTot == 0.0) 1.0 else hTot)).as("hub"))
+        .crossJoin(broadcast(hRaw.agg(coalesce(sum($"raw"), lit(0.0)).as("t"))
+          .select(when($"t" === 0.0, lit(1.0)).otherwise($"t").as("t"))))
+        .select($"id", (coalesce($"raw", lit(0.0)) / $"t").as("hub"))
         .localCheckpoint(true)
       val delta = newHubs.join(hubs.withColumnRenamed("hub", "old"), "id")
         .agg(coalesce(max(abs($"hub" - $"old")), lit(0.0))).as[Double].head()
@@ -157,19 +162,20 @@ object Hits {
     while (iter < maxIter) {
       val t0 = System.nanoTime()
       val hubs = scores.select($"id", $"hub")
+      // same checkpointed-gather + broadcast-scalar L1 totals as [[run]]
       val aRaw = gatherStep(edgesBySrc, hubs, "hub", "src", "dst")
         .localCheckpoint(true)
-      val aTot = aRaw.agg(coalesce(sum($"raw"), lit(0.0))).as[Double].head()
       val auths = verts.join(aRaw, Seq("id"), "left")
-        .select($"id", (coalesce($"raw", lit(0.0)) /
-          lit(if (aTot == 0.0) 1.0 else aTot)).as("auth"))
+        .crossJoin(broadcast(aRaw.agg(coalesce(sum($"raw"), lit(0.0)).as("t"))
+          .select(when($"t" === 0.0, lit(1.0)).otherwise($"t").as("t"))))
+        .select($"id", (coalesce($"raw", lit(0.0)) / $"t").as("auth"))
         .localCheckpoint(true)
       val hRaw = gatherStep(edgesByDst, auths, "auth", "dst", "src")
         .localCheckpoint(true)
-      val hTot = hRaw.agg(coalesce(sum($"raw"), lit(0.0))).as[Double].head()
       val newScores = verts.join(hRaw, Seq("id"), "left")
-        .select($"id", (coalesce($"raw", lit(0.0)) /
-          lit(if (hTot == 0.0) 1.0 else hTot)).as("hub"))
+        .crossJoin(broadcast(hRaw.agg(coalesce(sum($"raw"), lit(0.0)).as("t"))
+          .select(when($"t" === 0.0, lit(1.0)).otherwise($"t").as("t"))))
+        .select($"id", (coalesce($"raw", lit(0.0)) / $"t").as("hub"))
         .join(auths, "id")
       iter += 1
       val m = SuperstepMetric("hits", iter, n, edgeCount,

@@ -77,6 +77,89 @@ object PageRank {
       maxIter: Int = 100): Result =
     runFrom(vertices, edges, Some(prevRanks), damping, tol, maxIter)
 
+  /**
+   * Personalized PageRank (random walk with restart): the teleport mass —
+   * the (1−d) restart AND the dangling redistribution — goes to the SOURCE
+   * set instead of uniformly to every vertex, so ranks measure proximity
+   * to the sources (related-page discovery, seed-expanded crawl frontiers,
+   * topic-conditioned authority). Frozen convention, SQL-oracle-able like
+   * [[run]]:
+   *
+   *   r0(v)    = [v ∈ S] / |S|
+   *   rank'(v) = (1−d)·[v ∈ S]/|S|
+   *              + d·( Σ_{u→v} rank(u)/outdeg(u) + dangling·[v ∈ S]/|S| )
+   *
+   * Fixed iteration count (keeps the unrolled SQL oracle exact — the
+   * g_pagerank discipline); same physical shape as [[run]]: the source
+   * membership is a driver-side literal IN over the n-row rank frame
+   * (sources are a handful of seeds by construction — a large
+   * personalization set is just a different teleport vector and would
+   * arrive as a frame), edge side pre-partitioned once, never reshuffled.
+   *
+   * @param sources non-empty seed vertex ids; ids absent from `vertices`
+   *                fail loudly (silent absence would leak teleport mass)
+   */
+  def personalized(
+      vertices: DataFrame,
+      edges: Dataset[Edge],
+      sources: Seq[Long],
+      damping: Double = 0.85,
+      maxIter: Int = 10): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(sources.nonEmpty, "personalized PageRank needs >= 1 source id")
+    val srcIds = sources.distinct
+    val s = srcIds.size.toDouble
+
+    val verts = vertices.select(col(vertices.columns.head).as("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    require(n > 0, "empty vertex set")
+    val present = verts.filter($"id".isin(srcIds.map(lit(_)): _*)).count()
+    require(present == srcIds.size,
+      s"${srcIds.size - present} source id(s) not in the vertex set")
+    val edgeCount = edges.count()
+    val isSrc = col("id").isin(srcIds.map(lit(_)): _*)
+
+    val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val edgesW = edges.join(outDeg, "src")
+      .select($"src", $"dst", (lit(1.0) / $"deg").as("w"))
+      .repartition($"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesW.count()
+    val dangling = verts.join(edges.select($"src".as("id")).distinct(),
+      Seq("id"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    val danglingCount = dangling.count()
+
+    var ranks = verts
+      .select($"id", when(isSrc, lit(1.0 / s)).otherwise(lit(0.0)).as("rank"))
+      .localCheckpoint(true)
+    val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
+    var iter = 0
+    while (iter < maxIter) {
+      val t0 = System.nanoTime()
+      val danglingMass =
+        if (danglingCount == 0) 0.0
+        else ranks.join(dangling, "id")
+          .agg(coalesce(sum($"rank"), lit(0.0))).as[Double].head()
+      val contribs = ranks.join(edgesW, ranks("id") === edgesW("src"))
+        .groupBy($"dst".as("id"))
+        .agg(sum($"rank" * $"w").as("contrib"))
+      val srcBase = (1.0 - damping) / s + damping * danglingMass / s
+      val newRanks = verts.join(contribs, Seq("id"), "left")
+        .select($"id",
+          (when(isSrc, lit(srcBase)).otherwise(lit(0.0))
+            + lit(damping) * coalesce($"contrib", lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+      ranks = newRanks
+      iter += 1
+      metrics += SuperstepMetric("ppr", iter, n, edgeCount,
+        (System.nanoTime() - t0) / 1000000L, -1.0)
+    }
+    edgesW.unpersist(); dangling.unpersist(); verts.unpersist()
+    Result(ranks, metrics.toSeq, iter)
+  }
+
   /** Carry a rank vector across a RE-CONVERTED warehouse: dense ids are the
     * sorted-url rank, so any change to the url set renumbers them — map old
     * id → url → new id before seeding [[warmStart]]. Old urls no longer

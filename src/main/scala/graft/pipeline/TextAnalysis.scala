@@ -76,16 +76,61 @@ object TextAnalysis {
     * repetition signal (boilerplate loops, keyword stuffing, decode
     * glitches): 1 − |distinct n-grams| / |n-grams| over the doc's gram
     * multiset; 0 for docs shorter than n tokens. Rounded to 6 decimals so
-    * the DuckDB oracle compares exactly. Per-doc scalar over one
-    * higher-order-function pass — no shuffle; the HOF interpretation cost
-    * is linear in doc tokens, fine for a metric column (the quadratic-risk
-    * shingle JOIN paths are what get the compiled kernel in [[Dedup]]). */
-  def repetitionFraction(text: Column, n: Int): Column = {
+    * the DuckDB oracle compares exactly.
+    *
+    * Runs the one-pass [[repetitionRaw]] kernel, not the HOF tree: Catalyst
+    * interprets `transform`/`slice`/`array_distinct` per window AND
+    * re-evaluates the shared gram subtree for each of its three references
+    * — measured 11.0 s for the rep2 filter over sf0.1 where the kernel
+    * takes a scan-bound pass (the same finding, and the same fix, as
+    * `Dedup.shingleSeq`). [[repetitionFractionPortable]] keeps the HOF
+    * formulation as the parity reference, A/B-gated in PipelineSpec. */
+  def repetitionFraction(text: Column, n: Int): Column =
+    round(repetitionUdf(text, lit(n)), 6)
+
+  /** The HOF formulation [[repetitionFraction]] replaced — the DuckDB
+    * oracle's shape, kept as the semantics reference the kernel is
+    * parity-tested against. */
+  private[pipeline] def repetitionFractionPortable(text: Column, n: Int): Column = {
     val grams = wordGrams(text, n)
     round(when(size(grams) <= 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(grams)).cast("double") /
         size(grams).cast("double")), 6)
   }
+
+  /** Unrounded duplicate-gram fraction, one pass: replicates
+    * `tokens` = `split(trim(text), "\\s+")` exactly (Spark SQL `trim`
+    * strips SPACE U+0020 only; Spark `split` is Java split with limit -1,
+    * so leading non-space whitespace yields an empty first token — all
+    * preserved here, same as `Dedup.shingleSeq`). */
+  private[pipeline] def repetitionRaw(text: String, n: Int): Double = {
+    if (text == null) return 0.0
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) == ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+    val toks = WsRun.split(text.subSequence(lo, hi), -1)
+    val total = toks.length - n + 1
+    if (total <= 0) return 0.0
+    val seen = new java.util.HashSet[String](total * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var distinct = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      if (seen.add(sb.toString)) distinct += 1
+      i += 1
+    }
+    1.0 - distinct.toDouble / total.toDouble
+  }
+
+  private val repetitionUdf = udf((s: String, n: Int) => repetitionRaw(s, n))
 
   /** Per-language marker words for the n-gram/stopword language heuristic. */
   val LangMarkers: Seq[(String, String)] = Seq(

@@ -148,6 +148,92 @@ class AlgoSpec extends SparkTestBase {
     }
   }
 
+  test("personalized PageRank: teleport to sources only, matches dense oracle") {
+    def oracle(n: Int, edges: Seq[(Int, Int)], sources: Set[Int],
+        iters: Int): Array[Double] = {
+      val k = sources.size.toDouble
+      val outdeg = Array.fill(n)(0)
+      for ((s, _) <- edges) outdeg(s) += 1
+      var r = Array.tabulate(n)(v => if (sources(v)) 1.0 / k else 0.0)
+      for (_ <- 1 to iters) {
+        val dm = (0 until n).filter(outdeg(_) == 0).map(r).sum
+        val c = Array.fill(n)(0.0)
+        for ((s, t) <- edges) c(t) += r(s) / outdeg(s)
+        r = Array.tabulate(n)(v =>
+          (if (sources(v)) 0.15 / k + 0.85 * dm / k else 0.0) + 0.85 * c(v))
+      }
+      r
+    }
+    for ((n, m, seed) <- Seq((80, 400, 41L), (60, 90, 42L))) {
+      val edges = randomDigraph(n, m, seed)
+      val sources = Set(0, 3, 7)
+      val want = oracle(n, edges, sources, iters = 10)
+      val got = graft.algo.PageRank.personalized(vertsOf(n), toDs(edges),
+          sources.toSeq.sorted.map(_.toLong), maxIter = 10)
+        .ranks.collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+      assert(got.size == n)
+      // teleport+dangling both land in S: total mass stays a distribution
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass conserved")
+      for (v <- 0 until n)
+        assert(math.abs(got(v) - want(v)) < 1e-9, s"ppr($v) n=$n m=$m")
+    }
+    // unreachable-from-sources vertices hold rank 0 at every step
+    val chain = Seq((0, 1), (1, 2), (3, 4)) // component {3,4} unreachable from {0}
+    val pr = graft.algo.PageRank.personalized(vertsOf(5), toDs(chain),
+        Seq(0L), maxIter = 8)
+      .ranks.collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    assert(pr(3) == 0.0 && pr(4) == 0.0, "unreachable component stays 0")
+    assert(pr(0) > 0 && pr(1) > 0 && pr(2) > 0)
+    // unknown source id fails loudly (silent absence would leak teleport mass)
+    assertThrows[IllegalArgumentException](
+      graft.algo.PageRank.personalized(vertsOf(5), toDs(chain), Seq(99L)))
+  }
+
+  test("deterministic walks: trace matches the driver md5 oracle; dead ends stop; seeded") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def oracle(n: Int, edges: Seq[(Int, Int)], steps: Int,
+        seed: String): Set[(Long, Int, Long)] = {
+      val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      val trace = scala.collection.mutable.Set[(Long, Int, Long)]()
+      for (start <- 0 until n) {
+        var cur = start
+        trace += ((start.toLong, 0, start.toLong))
+        var t = 1
+        var alive = true
+        while (t <= steps && alive) {
+          out.get(cur) match {
+            case Some(nbrs) =>
+              cur = nbrs.minBy(v =>
+                md5hex(s"$seed:$t:$cur:$v") + f"$v%020d")
+              trace += ((start.toLong, t, cur.toLong))
+            case None => alive = false
+          }
+          t += 1
+        }
+      }
+      trace.toSet
+    }
+    val edges = randomDigraph(50, 120, seed = 51L) :+ ((49, 48)) // 48 may sink
+    val want = oracle(50, edges, steps = 5, seed = "walk")
+    val got = RandomWalks.deterministic(vertsOf(50), toDs(edges), steps = 5)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == want)
+    // partition-layout invariance: same trace from a shuffled edge layout
+    val got2 = RandomWalks.deterministic(vertsOf(50),
+        toDs(scala.util.Random.shuffle(edges)).repartition(7), steps = 5)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got2 == want, "trace must not depend on partitioning or edge order")
+    // a different seed draws a different trajectory somewhere
+    val reseeded = RandomWalks.deterministic(vertsOf(50), toDs(edges),
+        steps = 5, seed = "epoch2")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(reseeded != want, "seeds must decorrelate walk epochs")
+    assert(reseeded.count(_._2 == 0) == 50, "step 0 is always every start")
+  }
+
   test("HITS on a star: center is the sole authority, leaves split hub mass") {
     // leaves 1..4 all point at 0 — auth(0)=1, hub(leaf)=1/4, rest zero
     val edges = Seq((1, 0), (2, 0), (3, 0), (4, 0))

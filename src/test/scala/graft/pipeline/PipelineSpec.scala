@@ -652,6 +652,20 @@ class PipelineSpec extends SparkTestBase {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(gotDocs(id) == want, s"doc $id")
     }
+    // one-pass kernel ≡ the portable HOF/oracle formulation, including the
+    // split edge cases (leading non-space whitespace → empty first token;
+    // multi-space runs; single token; n=1)
+    val weird = Seq((100L, "\ta b\t b a  a b"), (101L, " x  y "), (102L, "a"))
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3); df <- Seq(rows, weird, docs.toDF().select($"doc_id", $"text"))) {
+      val a = df.select($"doc_id",
+          TextAnalysis.repetitionFraction($"text", n).as("r"))
+        .as[(Long, Double)].collect().toMap
+      val b = df.select($"doc_id",
+          TextAnalysis.repetitionFractionPortable($"text", n).as("r"))
+        .as[(Long, Double)].collect().toMap
+      assert(a == b, s"kernel != portable at n=$n")
+    }
   }
 
   test("packByBudget: distributed prefix sum matches the driver oracle at any partition count") {
