@@ -153,8 +153,17 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}") }
           val secs = (System.nanoTime() - t0) / 1e9
           // queries are independent; drop their internal persists so one
-          // query's leftover cache can't evict-churn the next
+          // query's leftover cache can't evict-churn the next.
+          // clearCache() alone is NOT enough: localCheckpoint blocks are
+          // plain persistent RDDs freed only when the driver GCs the RDD
+          // object, so the checkpoint-heavy queries' residue accumulates
+          // in the block manager and uniformly inflates everything after
+          // them (measured: the like-for-like-19 subtotal grew 21.3 →
+          // 30.3 s as the headline set grew 21 → 30 queries, quiet spins
+          // throughout) — unpersist every tracked RDD explicitly
           spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
           secs
         }
         name -> runs
