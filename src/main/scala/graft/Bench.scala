@@ -29,6 +29,7 @@ object Bench {
   private val Headline = Seq(
     "g_edges", "g_degrees", "g_adjacency", "g_triangles", "g_cc", "g_bfs",
     "g_pagerank", "g_ppr", "g_hits", "g_anf", "g_condense", "g_walks",
+    "g_kcore",
     "q1_agg", "q_join_revenue", "q_window_events",
     "d_exact", "d_jaccard", "d_minhash_lsh", "d_minhash_incr",
     "d_clusters", "d_clusters_warm", "d_passages", "d_passages_incr",

@@ -477,6 +477,21 @@ object Cli {
             case "triangles" =>
               val res = graft.algo.TriangleCount.run(verts, graph.edges)
               println(s"triangles: ${res.globalCount}")
+            case "kcore" =>
+              // dense-nucleus extraction: --k explicit, or adaptive
+              // 0.75 x avg undirected degree; --rounds 0 = run to fixpoint
+              val und = graph.edges.toDF()
+                .select($"src".as("u"), $"dst".as("v"))
+                .union(graph.edges.toDF().select($"dst".as("u"), $"src".as("v")))
+                .distinct()
+              val k = intArg(args, "k").getOrElse(
+                math.max(1, math.floor(0.75 *
+                  (und.count().toDouble / verts.count())).toInt))
+              val rounds = intArg(args, "rounds").getOrElse(0)
+              val res = graft.algo.KCore.run(verts, graph.edges, k, rounds)
+              printSteps(res.metrics)
+              println(s"$k-core after ${res.rounds} round(s): " +
+                s"${res.members.count()} of ${verts.count()} vertices")
             case "walks" =>
               // deterministic hash-seeded walks (reproducible walk corpus);
               // --steps hops from every page, --seed decorrelates epochs

@@ -202,6 +202,27 @@ object SparkEntry {
     head + steps + s"\nSELECT id, ROUND(rank, 6) AS rank FROM r$iters"
   }
 
+  /** Unrolled synchronous k-core peel in portable SQL — the frozen
+    * convention of the g_kcore query: adaptive k = max(1, floor(0.75 ×
+    * avg undirected degree)), exactly `rounds` simultaneous-drop rounds
+    * over the distinct undirected pair table (converged rounds no-op). */
+  private def kcoreSql(rounds: Int): String = {
+    val head =
+      s"""WITH $GraphCte,
+         |kk AS MATERIALIZED (SELECT GREATEST(1, CAST(FLOOR(0.75 *
+         |        (CAST((SELECT COUNT(*) FROM und) AS DOUBLE)
+         |          / (SELECT COUNT(*) FROM verts))) AS BIGINT)) AS k),
+         |a0 AS MATERIALIZED (SELECT id FROM verts)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val p = s"a${i - 1}"
+      s""",
+         |a$i AS MATERIALIZED (SELECT w.u AS id FROM und w
+         |        JOIN $p x ON w.u = x.id JOIN $p y ON w.v = y.id
+         |        GROUP BY w.u HAVING COUNT(*) >= (SELECT k FROM kk))""".stripMargin
+    }.mkString
+    head + steps + s"\nSELECT id FROM a$rounds"
+  }
+
   /** Unrolled deterministic random walks in portable SQL — the frozen hop
     * rule of [[RandomWalks.deterministic]]: arg_min over the md5 ordering
     * key, computed on the identical string in both engines. */
@@ -483,6 +504,21 @@ object SparkEntry {
     "g_walks" -> ((s, dir) =>
       RandomWalks.deterministic(derivedVerts(s, dir), derivedEdges(s, dir),
         steps = 4)),
+
+    // k-core peel, 8 synchronous rounds at the graph-adaptive k =
+    // max(1, floor(0.75 x avg undirected degree)) — the density knob
+    // tracks the corpus so the demo peels non-trivially at every sf
+    // (a partial peel is still oracle-exact: both sides run EXACTLY
+    // 8 rounds, converged rounds are no-ops)
+    "g_kcore" -> { (s, dir) =>
+      import s.implicits._
+      val e = derivedEdges(s, dir)
+      val und = e.toDF().select($"src".as("u"), $"dst".as("v"))
+        .union(e.toDF().select($"dst".as("u"), $"src".as("v"))).distinct()
+      val k = math.max(1, math.floor(0.75 *
+        (und.count().toDouble / derivedVerts(s, dir).count())).toInt)
+      graft.algo.KCore.run(derivedVerts(s, dir), e, k, rounds = 8).members
+    },
 
     "g_hits" -> { (s, dir) =>
       import s.implicits._
@@ -938,6 +974,8 @@ object SparkEntry {
     "g_ppr" -> pprSql(10, Seq(0L, 1L, 7L)),
 
     "g_walks" -> walksSql(4, "walk"),
+
+    "g_kcore" -> kcoreSql(8),
 
     "g_hits" -> hitsSql(10),
 

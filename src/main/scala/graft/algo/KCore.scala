@@ -1,0 +1,83 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.graph.Edge
+
+/**
+ * k-core by synchronous peeling — the classic web-graph density filter
+ * (Seidman 1983; the WebGraph/SNAP toolkits' standard "dense nucleus"
+ * extraction): repeatedly drop every vertex whose UNDIRECTED degree among
+ * surviving vertices is < k; what survives is the k-core. On a link graph
+ * the core isolates the densely interlinked hub region from the long
+ * in-/out-degree-1 periphery — crawl prioritization, spam-farm analysis,
+ * community scaffolding.
+ *
+ * Frozen convention (the SQL oracle implements it verbatim):
+ *   - undirected neighbor pairs: distinct (u,v) from edges ∪ reversed
+ *     edges (self-loops excluded upstream by the edge contract)
+ *   - a round drops ALL vertices with surviving-degree < k SIMULTANEOUSLY
+ *     (synchronous peel — deterministic, order-free; the sequential peel
+ *     reaches the same fixpoint but has no canonical intermediate states)
+ *   - `rounds` fixes the peel depth: converged rounds are no-ops, so a
+ *     fixed unroll both keeps the SQL oracle exact at ANY data scale and
+ *     bounds the job graph (the g_pagerank fixed-iteration discipline);
+ *     pass rounds = 0 to run to the fixpoint instead (spec-gated equal to
+ *     the fixed unroll whenever the unroll covers convergence)
+ *
+ * Physical shape per round: the surviving-vertex set (n rows, shrinking)
+ * left-semi-joins the undirected pair table on BOTH endpoints, then one
+ * partial/final count by endpoint — hub degree combines map-side; the
+ * pair table is built and cached ONCE. State localCheckpoint-ed per round.
+ */
+object KCore {
+
+  case class Result(members: DataFrame, metrics: Seq[SuperstepMetric], rounds: Int)
+
+  def run(
+      vertices: DataFrame,
+      edges: Dataset[Edge],
+      k: Int,
+      rounds: Int = 0): Result = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+
+    val und = edges.toDF().select($"src".as("u"), $"dst".as("v"))
+      .union(edges.toDF().select($"dst".as("u"), $"src".as("v")))
+      .distinct()
+      .repartition($"u")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairCount = und.count()
+
+    var alive = vertices.select(col(vertices.columns.head).as("id"))
+      .localCheckpoint(true)
+    var aliveCount = alive.count()
+    val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
+    var round = 0
+    var converged = false
+    while ((rounds == 0 && !converged) || (rounds > 0 && round < rounds)) {
+      val t0 = System.nanoTime()
+      val next = und
+        .join(alive.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .groupBy($"u".as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k)
+        .select($"id")
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      converged = nextCount == aliveCount
+      alive = next
+      aliveCount = nextCount
+      round += 1
+      metrics += SuperstepMetric("kcore", round, nextCount, pairCount,
+        (System.nanoTime() - t0) / 1000000L, -1.0)
+    }
+    und.unpersist()
+    Result(alive, metrics.toSeq, round)
+  }
+}

@@ -234,6 +234,36 @@ class AlgoSpec extends SparkTestBase {
     assert(reseeded.count(_._2 == 0) == 50, "step 0 is always every start")
   }
 
+  test("k-core: synchronous peel matches driver oracle; fixed unroll == fixpoint past convergence") {
+    import spark.implicits._
+    def oracle(edges: Seq[(Int, Int)], k: Int, rounds: Int): Set[Long] = {
+      val adj = scala.collection.mutable.Map[Int, scala.collection.mutable.Set[Int]]()
+      for ((s, t) <- edges; (a, b) <- Seq((s, t), (t, s)))
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+      var alive: Set[Int] = adj.keySet.toSet
+      for (_ <- 1 to rounds)
+        alive = alive.filter(u => (adj(u).toSet & alive).size >= k)
+      alive.map(_.toLong)
+    }
+    val edges = randomDigraph(80, 300, seed = 61L)
+    for (k <- Seq(1, 3, 5)) {
+      val want = oracle(edges, k, rounds = 8)
+      val got = KCore.run(vertsOf(80), toDs(edges), k, rounds = 8)
+        .members.as[Long].collect().toSet
+      assert(got == want, s"k=$k")
+    }
+    // fixpoint mode == a long fixed unroll (converged rounds are no-ops)
+    val fix = KCore.run(vertsOf(80), toDs(edges), k = 4)
+    val unrolled = KCore.run(vertsOf(80), toDs(edges), k = 4, rounds = 30)
+      .members.as[Long].collect().toSet
+    assert(fix.members.as[Long].collect().toSet == unrolled)
+    assert(fix.rounds <= 30 && fix.metrics.nonEmpty)
+    // a triangle + pendant at k=2: the triangle is the 2-core
+    val tri = Seq((0, 1), (1, 2), (2, 0), (0, 3))
+    assert(KCore.run(vertsOf(4), toDs(tri), k = 2).members
+      .as[Long].collect().toSet == Set(0L, 1L, 2L))
+  }
+
   test("HITS on a star: center is the sole authority, leaves split hub mass") {
     // leaves 1..4 all point at 0 — auth(0)=1, hub(leaf)=1/4, rest zero
     val edges = Seq((1, 0), (2, 0), (3, 0), (4, 0))
