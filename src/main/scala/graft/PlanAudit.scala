@@ -226,7 +226,38 @@ object PlanAudit {
     val hubs0 = SparkEntry.derivedVerts(spark, dir).withColumn("hub", lit(1.0))
     show("hits-gather-auth")(
       graft.algo.Hits.gatherStep(hitsEdges, hubs0, "hub", "src", "dst"))
+
+    // deterministic-walk step (late round 6): frontier ⋈ cached src edge
+    // layout + partial/final min_by over the md5 ordering key — expect no
+    // Exchange under the edge side, partial_min_by before the start shuffle
+    val frontier0 = SparkEntry.derivedVerts(spark, dir)
+      .select(col("id").as("start"), col("id").as("cur"))
+    val walkKey = concat(
+      md5(concat_ws(":", lit("walk"), lit(1), col("cur"), col("dst"))),
+      lpad(col("dst").cast("string"), 20, "0"))
+    show("walk-step-argmin")(
+      frontier0.join(hitsEdges, frontier0("cur") === hitsEdges("src"))
+        .groupBy(col("start"))
+        .agg(min_by(col("dst"), walkKey).as("cur")))
     hitsEdges.unpersist()
+
+    // k-core peel round (late round 6): expect the shrinking vertex set as
+    // two LEFT-SEMI joins against the cached pair table + a partial/final
+    // count by endpoint (hub degree combines map-side), no cartesian
+    val kcUnd = SparkEntry.derivedEdges(spark, dir).toDF()
+      .select(col("src").as("u"), col("dst").as("v"))
+      .union(SparkEntry.derivedEdges(spark, dir).toDF()
+        .select(col("dst").as("u"), col("src").as("v")))
+      .distinct().repartition(col("u")).persist()
+    kcUnd.count()
+    val alive0 = SparkEntry.derivedVerts(spark, dir)
+    show("kcore-peel-round")(
+      kcUnd.join(alive0.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(alive0.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .groupBy(col("u").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 5))
+    kcUnd.unpersist()
 
     // HyperBall superstep (round 6): expect ObjectHashAggregate with
     // partial_register_max (sketch union combines map-side) and the edge
