@@ -296,6 +296,64 @@ object PlanAudit {
       graft.pipeline.Filtering.qualityFilter(docsDf, "doc_id", "text",
         minQuality = 0.8, maxRepetition = 0.05, repN = 2, langs = Seq("en")))
 
+    // ----- round 7 (optimization round) seams -----
+
+    // PageRank superstep (round 7): ONE action per superstep — the dangling
+    // mass is a broadcast 1-row scalar inside the plan (no separate driver
+    // agg job) and the fixed no-in-edge rows arrive by UNION, so expect NO
+    // verts⋈contribs join/Exchange anywhere: one rank-side shuffle into the
+    // cached src edge layout, one partial/final dst aggregate, one union.
+    // Broadcast disabled so the big-graph join shape is shown.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val prEdges = SparkEntry.derivedEdges(spark, dir).toDF().persist()
+    val prDeg = prEdges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val prW = prEdges.join(prDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .repartition(col("src")).persist()
+    prW.count()
+    val prVerts = SparkEntry.derivedVerts(spark, dir)
+    val prRanks = prVerts.withColumn("rank", lit(0.001))
+    val prDangling = prVerts.join(prEdges.select(col("src").as("id")).distinct(),
+      Seq("id"), "left_anti")
+    val prNoIn = prVerts.join(prEdges.select(col("dst").as("id")).distinct(),
+      Seq("id"), "left_anti")
+    show("pagerank-superstep-one-action")(
+      graft.algo.PageRank.superstepPlan(prRanks, prW, prNoIn, prDangling,
+        danglingCount = 1L, damping = 0.85, n = 997L))
+
+    // HITS raw-chain superstep (round 7): both gathers of a superstep as
+    // ONE lazy plan (no per-phase checkpoint, no per-phase L1 totals — the
+    // scalars cancel in the final normalization); expect both cached edge
+    // layouts Exchange-free with partial_sum before each gather's shuffle
+    val hSrc = prEdges.repartition(col("src")).persist(); hSrc.count()
+    val hDst = prEdges.repartition(col("dst")).persist(); hDst.count()
+    show("hits-chained-superstep")(
+      graft.algo.Hits.gatherStep(hDst,
+        graft.algo.Hits.gatherStep(hSrc,
+            prVerts.withColumn("hub", lit(1.0)), "hub", "src", "dst")
+          .withColumnRenamed("raw", "auth"),
+        "auth", "dst", "src"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+
+    // exact-ANF ball superstep (round 7): per-vertex exact ball arrays
+    // folded by the set_union ObjectHashAggregate (map-side partials — the
+    // register_max argument with exact sets); with the state broadcast the
+    // cached src edge layout streams with NO Exchange, so the only shuffle
+    // carries one partially-deduped set per (task, src) — the round-6 pair
+    // formulation shuffled O(expanded pairs) rows three times per superstep
+    val anfState = prVerts.select(col("id"),
+      array(col("id").cast("long")).as("ball"))
+    show("anf-exact-ball-step-broadcast")(
+      graft.algo.Neighborhood.ballStep(hSrc, anfState, broadcastState = true))
+    hSrc.unpersist(); hDst.unpersist(); prW.unpersist(); prEdges.unpersist()
+
+    // Jaccard candidates (round 7): the postings self-join now carries a
+    // SHUFFLE_HASH hint — expect ShuffledHashJoin (no per-side sort) under
+    // the pair-count aggregate, partial_count before the (a,b) shuffle
+    val candPost = graft.pipeline.Dedup.docShingles(docsDf, "doc_id", "text", 3)
+    show("jaccard-candidates-shj")(
+      graft.pipeline.Dedup.jaccardCandidates(candPost))
+
     spark.stop()
   }
 }

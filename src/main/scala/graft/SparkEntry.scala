@@ -128,8 +128,10 @@ object SparkEntry {
 
   def derivedVerts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = derivedEdges(s, dir)
-    e.select($"src".as("id")).union(e.select($"dst".as("id"))).distinct()
+    // one pass over the edge lineage (explode both endpoints) instead of
+    // the union-of-two-selects, which scanned + distinct'ed it twice
+    derivedEdges(s, dir).toDF()
+      .select(explode(array($"src", $"dst")).as("id")).distinct()
   }
 
   /** CTE prefix defining the identical graph in DuckDB. */
@@ -512,17 +514,28 @@ object SparkEntry {
     // 8 rounds, converged rounds are no-ops)
     "g_kcore" -> { (s, dir) =>
       import s.implicits._
+      // the undirected pair table is built ONCE (persisted) and shared by
+      // the adaptive-k degree average, the vertex set (distinct u over both
+      // directions == the endpoint set), and the peel itself — the round-6
+      // shape rebuilt it from the raw lineage three times
       val e = derivedEdges(s, dir)
       val und = e.toDF().select($"src".as("u"), $"dst".as("v"))
         .union(e.toDF().select($"dst".as("u"), $"src".as("v"))).distinct()
+        .persist()
+      val verts = und.select($"u".as("id")).distinct()
       val k = math.max(1, math.floor(0.75 *
-        (und.count().toDouble / derivedVerts(s, dir).count())).toInt)
-      graft.algo.KCore.run(derivedVerts(s, dir), e, k, rounds = 8).members
+        (und.count().toDouble / verts.count())).toInt)
+      val res = graft.algo.KCore.runOnUndirected(verts, und, k, rounds = 8)
+      und.unpersist()
+      res.members
     },
 
     "g_hits" -> { (s, dir) =>
       import s.implicits._
-      val res = Hits.run(derivedVerts(s, dir), derivedEdges(s, dir), maxIter = 10)
+      // computeDelta = false: the per-superstep max|Δhub| is a diagnostic
+      // this query throws away (guide §1.2), one action per superstep saved
+      val res = Hits.run(derivedVerts(s, dir), derivedEdges(s, dir),
+        maxIter = 10, computeDelta = false)
       res.scores.select($"id", round($"hub", 6).as("hub"),
         round($"auth", 6).as("auth"))
     },

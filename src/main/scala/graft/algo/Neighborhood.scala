@@ -35,41 +35,63 @@ object Neighborhood {
       iterations: Int)
 
   /**
-   * Exact N(t) for t = 0..maxT via frontier-delta multi-source BFS: only
-   * NEWLY reached (s, n) pairs expand in the next superstep (the same
-   * delta discipline as [[Bfs.distances]]); a saturated walk stops early
-   * and the tail rows repeat the fixpoint count, so the output always has
-   * maxT+1 rows — (t, pairs), cumulative, t=0 counting the self-pairs.
+   * Exact N(t) for t = 0..maxT via per-vertex exact ball sets — the same
+   * superstep shape as [[hyperBall]] with the HLL sketch replaced by the
+   * exact sorted-id array and [[graft.functions.RegisterMax]] by
+   * [[graft.functions.SetUnion]]: ball(v) ← ball(v) ∪ ⋃_{v→u} ball(u),
+   * N(t) = Σ_v |ball_t(v)|. State is n ROWS (one array per vertex) instead
+   * of the round-6 pair-exploded frame, so a superstep is ONE join + ONE
+   * map-side-combining aggregation — the pair formulation paid a distinct
+   * shuffle over every expanded pair, an anti-join against the visited
+   * pairs, AND a full visited-set rewrite per superstep (three O(pairs)
+   * exchanges; measured 7.7–14 s for g_anf at sf0.1, vs ~2 s for this
+   * shape). Total state is the same O(Σ|ball|) — this is still the
+   * verification twin, [[hyperBall]] is the 100 TB path.
+   *
+   * A saturated walk stops early and the tail rows repeat the fixpoint
+   * count, so the output always has maxT+1 rows — (t, pairs), cumulative,
+   * t=0 counting the self-pairs.
    */
   def exact(vertices: DataFrame, edges: Dataset[Edge], maxT: Int): Result = {
     val spark = edges.sparkSession
     import spark.implicits._
     require(maxT >= 0, s"maxT must be >= 0, got $maxT")
+    val preCached = edges.storageLevel != StorageLevel.NONE
+    val e0 = edges.toDF()
+    if (!preCached) e0.persist(StorageLevel.MEMORY_AND_DISK)
     val verts = vertices.select(col(vertices.columns.head).as("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
-    val edgesBySrc = edges.toDF().repartition($"src")
+    // src layout: with the (small) ball state broadcast, the gather join
+    // streams the cached edge partitions and the partial set_union combines
+    // per-src WITHIN each task, so the per-superstep shuffle carries one
+    // partially-deduped set per (task, src) — never the raw m×ball rows
+    val edgesBySrc = e0.repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesBySrc.count()
+    if (!preCached) e0.unpersist()
 
-    var visited = verts.select($"id".as("s"), $"id".as("n")).localCheckpoint(true)
-    var frontier = visited
+    var state = verts
+      .select($"id", array($"id".cast("long")).as("ball"))
+      .localCheckpoint(true)
     var cum = n
     val counts = scala.collection.mutable.ArrayBuffer((0, cum))
     var t = 1
     var iterations = 0
+    var saturated = false
     val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
-    while (t <= maxT && !frontier.isEmpty) {
+    while (t <= maxT && !saturated) {
       val t0 = System.nanoTime()
-      val expanded = frontier.join(edgesBySrc, frontier("n") === edgesBySrc("src"))
-        .select(frontier("s"), edgesBySrc("dst").as("n")).distinct()
-      val newPairs = expanded.join(visited, Seq("s", "n"), "left_anti")
+      // broadcast the ball state when its exact size (cum ids + row
+      // overhead) is known small — the planner can't estimate a checkpoint
+      state = ballStep(edgesBySrc, state,
+        broadcastState = cum * 8L + n * 32L < (64L << 20))
         .localCheckpoint(true)
-      val c = newPairs.count()
-      cum += c
+      val newCum = state.agg(sum(size($"ball"))).as[Long].head()
+      val c = newCum - cum
+      saturated = c == 0L
+      cum = newCum
       counts += ((t, cum))
-      visited = visited.union(newPairs).localCheckpoint(true)
-      frontier = newPairs
       iterations = t
       metrics += SuperstepMetric("anf-exact", t, c, 0L,
         (System.nanoTime() - t0) / 1000000L, c.toDouble)
@@ -78,6 +100,25 @@ object Neighborhood {
     while (t <= maxT) { counts += ((t, cum)); t += 1 } // saturated tail
     edgesBySrc.unpersist(); verts.unpersist()
     Result(counts.toSeq.toDF("t", "pairs"), metrics.toSeq, iterations)
+  }
+
+  /** One exact-ball superstep (the loop body of [[exact]], exposed as a
+    * lazy seam for the plan audit): gather out-neighbors' ball arrays
+    * through the src-layout edge cache (state broadcast when its known
+    * size allows — the join then streams the cached edge partitions and
+    * the partial set_union combines per-src within each task), union with
+    * the vertex's own ball, fold by [[graft.functions.SetUnion]]. */
+  private[graft] def ballStep(edgesBySrc: DataFrame, state: DataFrame,
+      broadcastState: Boolean): DataFrame = {
+    import graft.functions.SetUnion.set_union
+    val spark = state.sparkSession
+    import spark.implicits._
+    val stateByDst = state.withColumnRenamed("id", "dst")
+    val gatherSide = if (broadcastState) broadcast(stateByDst) else stateByDst
+    edgesBySrc.join(gatherSide, "dst")
+      .select($"src".as("id"), $"ball")
+      .union(state)
+      .groupBy($"id").agg(set_union($"ball").as("ball"))
   }
 
   /** One HyperBall superstep (the loop body, exposed as a lazy seam for the
@@ -181,9 +222,19 @@ object Neighborhood {
     val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetric]()
     while (t <= maxT && !saturated) {
       val t0 = System.nanoTime()
+      val prev = counters
       counters = unionStep(edgesByDst, counters).localCheckpoint(true)
       val est = estimate(counters)
-      saturated = est == cum // monotone registers: a fixpoint is permanent
+      // an equal estimate SUM is necessary but not sufficient for a register
+      // fixpoint (the sum is not injective in register state): confirm on
+      // the registers themselves — a cheap n-row join that only runs when
+      // the estimate coincides. Monotone registers make a confirmed
+      // fixpoint permanent.
+      saturated = est == cum && {
+        import org.apache.spark.sql.functions.{col => c}
+        counters.join(prev.withColumnRenamed("regs", "prevRegs"), "id")
+          .filter(c("regs") =!= c("prevRegs")).limit(1).count() == 0L
+      }
       cum = est
       counts += ((t, cum))
       iterations = t

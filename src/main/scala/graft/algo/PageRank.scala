@@ -111,6 +111,12 @@ object PageRank {
     val srcIds = sources.distinct
     val s = srcIds.size.toDouble
 
+    // cache the raw edge input once — see [[runFrom]]'s note (same four
+    // consumers of the edge lineage, same CacheManager substitution win)
+    val preCached = edges.storageLevel != StorageLevel.NONE
+    val e0 = edges.toDF()
+    if (!preCached) e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = e0.count()
     val verts = vertices.select(col(vertices.columns.head).as("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
@@ -118,18 +124,22 @@ object PageRank {
     val present = verts.filter($"id".isin(srcIds.map(lit(_)): _*)).count()
     require(present == srcIds.size,
       s"${srcIds.size - present} source id(s) not in the vertex set")
-    val edgeCount = edges.count()
     val isSrc = col("id").isin(srcIds.map(lit(_)): _*)
 
-    val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val edgesW = edges.join(outDeg, "src")
+    val outDeg = e0.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val edgesW = e0.join(outDeg, "src")
       .select($"src", $"dst", (lit(1.0) / $"deg").as("w"))
       .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesW.count()
-    val dangling = verts.join(edges.select($"src".as("id")).distinct(),
+    val dangling = verts.join(e0.select($"src".as("id")).distinct(),
       Seq("id"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
     val danglingCount = dangling.count()
+    // fixed no-in-edge set: replaces the per-superstep verts⋈contribs left
+    // join with a union, exactly as in [[runFrom]]
+    val noIn = verts.join(e0.select($"dst".as("id")).distinct(),
+      Seq("id"), "left_anti").localCheckpoint(true)
+    if (!preCached) e0.unpersist()
 
     var ranks = verts
       .select($"id", when(isSrc, lit(1.0 / s)).otherwise(lit(0.0)).as("rank"))
@@ -138,19 +148,32 @@ object PageRank {
     var iter = 0
     while (iter < maxIter) {
       val t0 = System.nanoTime()
-      val danglingMass =
-        if (danglingCount == 0) 0.0
-        else ranks.join(dangling, "id")
-          .agg(coalesce(sum($"rank"), lit(0.0))).as[Double].head()
       val contribs = ranks.join(edgesW, ranks("id") === edgesW("src"))
         .groupBy($"dst".as("id"))
         .agg(sum($"rank" * $"w").as("contrib"))
-      val srcBase = (1.0 - damping) / s + damping * danglingMass / s
-      val newRanks = verts.join(contribs, Seq("id"), "left")
-        .select($"id",
-          (when(isSrc, lit(srcBase)).otherwise(lit(0.0))
-            + lit(damping) * coalesce($"contrib", lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+      // teleport base per row: CASE isSrc THEN (1-d)/|S| + (d*dm)/|S| ELSE 0,
+      // with the dangling mass dm as a broadcast 1-row scalar folded into
+      // the superstep's own action (same bit-identical-arithmetic argument
+      // as [[runFrom]]; a no-in-edge vertex's d*0.0 term adds exact +0.0)
+      val newRanks = (if (danglingCount == 0) {
+        val srcBase = (1.0 - damping) / s
+        contribs.select($"id",
+            (when(isSrc, lit(srcBase)).otherwise(lit(0.0))
+              + lit(damping) * $"contrib").as("rank"))
+          .union(noIn.select($"id",
+            when(isSrc, lit(srcBase)).otherwise(lit(0.0)).as("rank")))
+      } else {
+        val dm = broadcast(ranks.join(dangling, "id")
+          .agg(coalesce(sum($"rank"), lit(0.0)).as("dm")))
+        val srcBase = lit((1.0 - damping) / s) +
+          lit(damping) * $"dm" / lit(s)
+        contribs.crossJoin(dm)
+          .select($"id",
+            (when(isSrc, srcBase).otherwise(lit(0.0))
+              + lit(damping) * $"contrib").as("rank"))
+          .union(noIn.crossJoin(dm).select($"id",
+            when(isSrc, srcBase).otherwise(lit(0.0)).as("rank")))
+      }).localCheckpoint(true)
       ranks = newRanks
       iter += 1
       metrics += SuperstepMetric("ppr", iter, n, edgeCount,
@@ -175,6 +198,41 @@ object PageRank {
       .select($"id", $"rank")
   }
 
+  /** One superstep's LAZY plan (the loop body of [[runFrom]], exposed as a
+    * seam for the plan audit): one hash join ranks⋈edgesW (edge side
+    * pre-partitioned, never reshuffled), one partial/final aggregation by
+    * dst, the dangling mass as a broadcast 1-row scalar folded into the
+    * same plan, and the fixed no-in-edge rows UNIONED in — no per-superstep
+    * verts⋈contribs Exchange. */
+  private[graft] def superstepPlan(ranks: DataFrame, edgesW: DataFrame,
+      noIn: DataFrame, dangling: DataFrame, danglingCount: Long,
+      damping: Double, n: Long): DataFrame = {
+    val spark = ranks.sparkSession
+    import spark.implicits._
+    val contribs = ranks.join(edgesW, ranks("id") === edgesW("src"))
+      .groupBy($"dst".as("id"))
+      .agg(sum($"rank" * $"w").as("contrib"))
+    // dangling mass folds into the superstep's own action as a broadcast
+    // 1-row scalar instead of a separate driver round-trip per superstep;
+    // the expression tree mirrors the old driver arithmetic exactly
+    // ((1-d)/n + (d*dm)/n, then base + d*contrib — a no-in-edge vertex's
+    // d*0.0 contribution adds exact +0.0), so ranks are bit-identical to
+    // the two-action / verts-left-join formulation
+    if (danglingCount == 0) {
+      val base = (1.0 - damping) / n
+      contribs.select($"id", (lit(base) + lit(damping) * $"contrib").as("rank"))
+        .union(noIn.select($"id", lit(base).as("rank")))
+    } else {
+      val dm = broadcast(ranks.join(dangling, "id")
+        .agg(coalesce(sum($"rank"), lit(0.0)).as("dm")))
+      val baseCol = lit((1.0 - damping) / n) +
+        lit(damping) * $"dm" / lit(n.toDouble)
+      contribs.crossJoin(dm)
+        .select($"id", (baseCol + lit(damping) * $"contrib").as("rank"))
+        .union(noIn.crossJoin(dm).select($"id", baseCol.as("rank")))
+    }
+  }
+
   private def runFrom(
       vertices: DataFrame,
       edges: Dataset[Edge],
@@ -185,27 +243,42 @@ object PageRank {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // cache the raw edge input ONCE before anything reads it: the setup
+    // below consumes the edge lineage four times (count, weight join,
+    // distinct-src anti-join, and — via CacheManager subplan substitution —
+    // any caller-side vertex frame derived from the same edge plan), and
+    // without this each consumer re-ran the full upstream scan+distinct
+    val preCached = edges.storageLevel != StorageLevel.NONE
+    val e0 = edges.toDF()
+    if (!preCached) e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = e0.count()
     val verts = vertices.select(col(vertices.columns.head).as("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     require(n > 0, "empty vertex set")
-    val edgeCount = edges.count()
 
     // one-time: per-source weight = 1/outdeg, attached to each edge;
     // pre-partitioned by src so the per-superstep join only shuffles the
     // (n-row) rank side, never the (m-row) edge side
-    val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val edgesW = edges.join(outDeg, "src")
+    val outDeg = e0.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val edgesW = e0.join(outDeg, "src")
       .select($"src", $"dst", (lit(1.0) / $"deg").as("w"))
       .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesW.count()
     // dangling vertices: no out-edges; their mass redistributes uniformly.
     // On graphs with none (common after dangling-link elimination) the whole
-    // per-superstep mass job is skipped.
-    val dangling = verts.join(edges.select($"src".as("id")).distinct(),
+    // per-superstep mass term is skipped.
+    val dangling = verts.join(e0.select($"src".as("id")).distinct(),
       Seq("id"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
     val danglingCount = dangling.count()
+    // vertices with NO in-edges never appear in the contribution aggregate;
+    // the set is FIXED across supersteps, so computing it once replaces the
+    // per-superstep verts⋈contribs left join (an n-row Exchange + sort per
+    // superstep, guide §2.4) with a plain union of this frame
+    val noIn = verts.join(e0.select($"dst".as("id")).distinct(),
+      Seq("id"), "left_anti").localCheckpoint(true)
+    if (!preCached) e0.unpersist()
 
     var ranks = (prevRanks match {
       case None => verts.withColumn("rank", lit(1.0 / n))
@@ -224,18 +297,9 @@ object PageRank {
     var delta = Double.MaxValue
     while (iter < maxIter && (tol <= 0.0 || delta > tol)) {
       val t0 = System.nanoTime()
-      val danglingMass =
-        if (danglingCount == 0) 0.0
-        else ranks.join(dangling, "id")
-          .agg(coalesce(sum($"rank"), lit(0.0))).as[Double].head()
-      val contribs = ranks.join(edgesW, ranks("id") === edgesW("src"))
-        .groupBy($"dst".as("id"))
-        .agg(sum($"rank" * $"w").as("contrib"))
-      val base = (1.0 - damping) / n + damping * danglingMass / n
-      val newRanks = verts.join(contribs, Seq("id"), "left")
-        .select($"id",
-          (lit(base) + lit(damping) * coalesce($"contrib", lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+      // one action per superstep: see [[superstepPlan]]
+      val newRanks = superstepPlan(ranks, edgesW, noIn, dangling,
+        danglingCount, damping, n).localCheckpoint(true)
       delta =
         if (tol > 0.0)
           newRanks.join(ranks.withColumnRenamed("rank", "old"), "id")

@@ -53,14 +53,23 @@ object RandomWalks {
     require(!seed.contains(":"), "seed must not contain ':' (the key separator)")
 
     val verts = vertices.select(col(vertices.columns.head).as("id"))
-    val edgesBySrc = edges.toDF().repartition($"src")
+    // cache the raw edge input while the src layout + the caller-derived
+    // vertex frame (CacheManager subplan substitution) materialize, then
+    // drop it — only the src layout is needed across steps
+    val preCached = edges.storageLevel != StorageLevel.NONE
+    val e0 = edges.toDF()
+    if (!preCached) e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val edgesBySrc = e0.repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesBySrc.count()
 
     var frontier = verts.select($"id".as("start"), $"id".as("cur"))
       .localCheckpoint(true)
-    var trace = verts.select($"id".as("start"), lit(0).as("step"),
-      $"id".as("vertex"))
+    if (!preCached) e0.unpersist()
+    // step 0 of the trace reads the CHECKPOINTED frontier rather than
+    // re-deriving the vertex frame at action time
+    var trace = frontier.select($"start", lit(0).as("step"),
+      $"cur".as("vertex"))
     var t = 1
     while (t <= steps) {
       val key = concat(

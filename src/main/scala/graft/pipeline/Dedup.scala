@@ -235,7 +235,13 @@ object Dedup {
           .filter($"pc" <= maxPostings), "shingle")
           .select($"id", $"shingle")
       else ds
-    postings.select($"id".as("a"), $"shingle")
+    // SHUFFLE_HASH: the self-join's sides are identical in size and the
+    // sort-merge default pays two O(postings log postings) string sorts
+    // that a per-partition hash build skips (measured 1.7 → 0.8 s at
+    // sf0.1, guide §3.1). Per-partition build memory is bounded by the
+    // maxPostings stop cut + shuffle partition count, and AQE skew-join
+    // splits oversized partitions for SHJ too.
+    postings.select($"id".as("a"), $"shingle").hint("shuffle_hash")
       .join(postings.select($"id".as("b"), $"shingle"), "shingle")
       .filter($"a" < $"b")
       .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
@@ -477,11 +483,15 @@ object Dedup {
         (fresh0.join(pc, "fp"), oldB.join(pc, "fp"))
       } else (fresh0, old0)
     // new×old (sides disjoint — no orientation dup) plus new×new (a < b):
-    // every ≥1-new pair appears exactly once per shared fingerprint
-    val newOld = fresh.select($"id".as("x"), $"fp")
+    // every ≥1-new pair appears exactly once per shared fingerprint.
+    // SHUFFLE_HASH with the O(batch) side as build: skips the per-side
+    // sorts of the sort-merge default (the jaccardCandidates measurement),
+    // and the bucketed corpus side still reaches the join Exchange-free
+    // (hash distribution satisfied by layout; ScalePlanSpec-gated)
+    val newOld = fresh.select($"id".as("x"), $"fp").hint("shuffle_hash")
       .join(old.select($"id".as("y"), $"fp"), "fp")
       .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
-    val newNew = fresh.select($"id".as("a"), $"fp")
+    val newNew = fresh.select($"id".as("a"), $"fp").hint("shuffle_hash")
       .join(fresh.select($"id".as("b"), $"fp"), "fp")
       .filter($"a" < $"b")
       .select($"a", $"b")
@@ -567,13 +577,20 @@ object Dedup {
     sideSnap.properties.get("syncedTo").map(_.toLong) match {
       case Some(s) if s >= mainSnap.snapshotId => ()
       case Some(s) =>
-        val chain = cat.snapshots(table)
+        val all = cat.snapshots(table)
+        val chain = all
           .filter(x => x.snapshotId > s && x.snapshotId <= mainSnap.snapshotId)
           .sortBy(_.snapshotId)
         def isCompaction(x: graft.tables.Snapshot): Boolean =
           x.properties.contains("compactedFromSnapshot") &&
             !x.properties.contains("appendedRows")
-        val walkable = chain.map(_.snapshotId) == (s + 1 to mainSnap.snapshotId) &&
+        // the syncedTo PARENT's manifest must still exist too: readAppended
+        // on snapshot s+1 silently degrades to the WHOLE table when its
+        // parent manifest is gone (an out-of-band expire between a crash
+        // and this heal), which would append every old doc's counts as a
+        // fake delta and corrupt union sizes — recommit instead
+        val walkable = all.exists(_.snapshotId == s) &&
+          chain.map(_.snapshotId) == (s + 1 to mainSnap.snapshotId) &&
           chain.forall(x => x.properties.contains("appendedRows") || isCompaction(x))
         if (walkable) {
           def stampFor(v: Long): Long =
@@ -671,10 +688,11 @@ object Dedup {
           .filter($"pc" <= maxPostings).select($"shingle")
         (fresh0.join(pc, "shingle"), oldB.join(pc, "shingle"))
       } else (fresh0, old0)
-    val newOld = fresh.select($"id".as("x"), $"shingle")
+    // SHUFFLE_HASH, batch side as build — see winnowIncrPlan's note
+    val newOld = fresh.select($"id".as("x"), $"shingle").hint("shuffle_hash")
       .join(old.select($"id".as("y"), $"shingle"), "shingle")
       .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
-    val newNew = fresh.select($"id".as("a"), $"shingle")
+    val newNew = fresh.select($"id".as("a"), $"shingle").hint("shuffle_hash")
       .join(fresh.select($"id".as("b"), $"shingle"), "shingle")
       .filter($"a" < $"b")
       .select($"a", $"b")
@@ -949,10 +967,11 @@ object Dedup {
     val spark = newBk.sparkSession
     import spark.implicits._
     val oldBk = cat.readBucketed(spark, table)
-    val candNewOld = newBk.select($"id".as("x"), $"bk")
+    // SHUFFLE_HASH, batch side as build — see winnowIncrPlan's note
+    val candNewOld = newBk.select($"id".as("x"), $"bk").hint("shuffle_hash")
       .join(oldBk.select($"id".as("y"), $"bk"), "bk")
       .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
-    val candNewNew = newBk.select($"id".as("a"), $"bk")
+    val candNewNew = newBk.select($"id".as("a"), $"bk").hint("shuffle_hash")
       .join(newBk.select($"id".as("b"), $"bk"), "bk")
       .filter($"a" < $"b")
       .select($"a", $"b")

@@ -570,7 +570,8 @@ object Similarity {
     syncedTo match {
       case Some(s) if s >= mainSnap.snapshotId => () // in lockstep
       case Some(s) =>
-        val chain = cat.snapshots(mainTable)
+        val all = cat.snapshots(mainTable)
+        val chain = all
           .filter(x => x.snapshotId > s && x.snapshotId <= mainSnap.snapshotId)
           .sortBy(_.snapshotId)
         def isCompaction(x: graft.tables.Snapshot): Boolean =
@@ -578,10 +579,14 @@ object Similarity {
             !x.properties.contains("appendedRows")
         // walkable = contiguous chain of fast appends and compactions
         // (compactions rewrite layout, not logical rows — skipped, but a
-        // trailing one still advances the recorded high-water mark);
-        // anything else (full-replacement commit, expired gap) heals by one
-        // full sidecar re-commit
-        val walkable = chain.map(_.snapshotId) == (s + 1 to mainSnap.snapshotId) &&
+        // trailing one still advances the recorded high-water mark) AND the
+        // syncedTo parent's manifest still exists — readAppended on s+1
+        // degrades to the WHOLE table when its parent manifest is gone
+        // (out-of-band expire), which would duplicate every old id in the
+        // sidecar; anything else (full-replacement commit, expired gap)
+        // heals by one full sidecar re-commit
+        val walkable = all.exists(_.snapshotId == s) &&
+          chain.map(_.snapshotId) == (s + 1 to mainSnap.snapshotId) &&
           chain.forall(x => x.properties.contains("appendedRows") || isCompaction(x))
         if (walkable) {
           // stamp each delta with the furthest snapshot it brings the

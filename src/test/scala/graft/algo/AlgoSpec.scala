@@ -148,6 +148,28 @@ class AlgoSpec extends SparkTestBase {
     }
   }
 
+  test("HITS raw power chain (computeDelta=false) matches the oracle to 1e-9") {
+    // the production path defers every L1 normalization to the end (the
+    // scalars cancel); it must agree with the per-step-normalized oracle to
+    // float rounding, including maxIter past the every-5th rescale and the
+    // maxIter=1 degenerate split
+    for ((n, m, seed, iters) <- Seq((80, 400, 31L, 10), (60, 90, 32L, 10),
+        (40, 120, 33L, 12), (30, 80, 34L, 1))) {
+      val edges = randomDigraph(n, m, seed)
+      val (wantHub, wantAuth) = Hits.oracle(n, edges, maxIter = iters)
+      val res = Hits.run(vertsOf(n), toDs(edges), maxIter = iters,
+        computeDelta = false)
+      val got = res.scores.collect()
+        .map(r => r.getLong(0).toInt -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(got.size == n)
+      for (v <- 0 until n) {
+        assert(math.abs(got(v)._1 - wantHub(v)) < 1e-9, s"hub($v) n=$n m=$m")
+        assert(math.abs(got(v)._2 - wantAuth(v)) < 1e-9, s"auth($v) n=$n m=$m")
+      }
+      assert(res.iterations == iters && res.metrics.size == iters)
+    }
+  }
+
   test("personalized PageRank: teleport to sources only, matches dense oracle") {
     def oracle(n: Int, edges: Seq[(Int, Int)], sources: Set[Int],
         iters: Int): Array[Double] = {

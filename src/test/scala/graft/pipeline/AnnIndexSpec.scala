@@ -575,4 +575,33 @@ class AnnIndexSpec extends SparkTestBase {
       "quantizer must be identical at any input partitioning")
     assert(cat1.currentSnapshot("ann_ivf_centroids").get.rowCount == 8)
   }
+
+  test("sidecar heal recommits when the syncedTo parent manifest is expired") {
+    import spark.implicits._
+    // same out-of-band-expire window as the Dedup sizes-sidecar test: the
+    // chain looks contiguous but the syncedTo parent's manifest is gone, so
+    // a delta walk would re-append every old id (readAppended degrades to
+    // the whole snapshot) — the heal must recommit instead
+    val wh = tmp()
+    val emb2 = embs.select($"vec_id", $"embedding")
+    Similarity.buildIvfIndex(emb2.filter($"vec_id" < 400), "vec_id", "embedding",
+      wh, nlist = 16)
+    val cat = new IcebergLite(wh)
+    val cs = cat.read(spark, "ann_ivf_centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).toSeq
+    for ((lo, hi) <- Seq((400L, 430L), (430L, 450L)))
+      cat.append(Similarity.assignCells(
+          emb2.filter($"vec_id" >= lo && $"vec_id" < hi), "vec_id", "embedding", cs),
+        "ann_ivf_cells",
+        cat.currentSnapshot("ann_ivf_cells").get.properties - "appendedRows",
+        statsCol = Some("cell"))
+    cat.expireSnapshots("ann_ivf_cells", keepLast = 2)
+    Similarity.healSidecar(spark, cat, "ann_ivf_cells", "ann_ivf_ids")
+    val cells = cat.read(spark, "ann_ivf_cells")
+      .select($"id", $"cell").as[(Long, Int)].collect()
+    val sidecar = cat.read(spark, "ann_ivf_ids").as[(Long, Int)].collect()
+    assert(sidecar.length == cells.length,
+      s"heal duplicated sidecar rows: ${sidecar.length} vs ${cells.length}")
+    assert(sidecar.toSet == cells.toSet)
+  }
 }

@@ -948,4 +948,37 @@ class PipelineSpec extends SparkTestBase {
     assert(sampled.groupBy($"doc_id").count().as[(Long, Long)].collect()
       .forall { case (id, c) => c == (1 + (id % 4) + 1) / 2 })
   }
+
+  test("sizes-sidecar heal recommits when the syncedTo parent manifest is expired") {
+    import spark.implicits._
+    // crash window + OUT-OF-BAND EXPIRE: two postings appends land with no
+    // sizes append, then the syncedTo parent's manifest is expired. The
+    // chain LOOKS contiguous (s+1..main all exist) but readAppended on s+1
+    // would silently return the WHOLE snapshot (parent manifest gone), so a
+    // delta walk would append every old doc's counts again — the heal must
+    // detect the missing parent and fall back to one full recommit.
+    val wh = java.nio.file.Files.createTempDirectory("heal-expire").toString
+    val d = (0L until 30L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta $i"))
+      .toDF("doc_id", "text")
+    Dedup.buildShingleIndex(d.filter($"doc_id" < 10), "doc_id", "text", wh, n = 3)
+    val cat = new graft.tables.IcebergLite(wh)
+    val snap = cat.currentSnapshot("shingle_index").get
+    cat.append(Dedup.batchShingles(
+        d.filter($"doc_id" >= 10 && $"doc_id" < 20), "doc_id", "text", snap),
+      "shingle_index", snap.properties - "appendedRows")
+    cat.append(Dedup.batchShingles(
+        d.filter($"doc_id" >= 20), "doc_id", "text", snap),
+      "shingle_index", snap.properties - "appendedRows")
+    cat.expireSnapshots("shingle_index", keepLast = 2)
+    Dedup.healSizesSidecar(spark, cat, "shingle_index")
+    val want = cat.read(spark, "shingle_index")
+      .groupBy($"id").agg(count(lit(1)).as("sz"))
+      .as[(Long, Long)].collect().toMap
+    val got = cat.read(spark, "shingle_index_sizes")
+      .as[(Long, Long)].collect().toSeq
+    assert(got.size == want.size,
+      s"heal duplicated sizes rows: ${got.size} rows for ${want.size} docs")
+    assert(got.toMap == want)
+  }
 }
