@@ -27,15 +27,6 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // TypedImperativeAggregates (register_max sketch union, set_union ball
-      // union, topk_by heaps) run as ObjectHashAggregate; the default
-      // fallback-to-sort threshold of 128 DISTINCT KEYS per task flips any
-      // real vertex-keyed aggregation into sort-based mode, which sorts the
-      // whole m-row gather input per superstep. Our buffers are bounded
-      // (64 B sketches, k-entry heaps, ball arrays on the small exact twin),
-      // so thousands of in-flight keys per task are cheap — scale-independent
-      // (per-task key count, not data size); same value on a cluster.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

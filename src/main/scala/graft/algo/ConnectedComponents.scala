@@ -183,8 +183,13 @@ object ConnectedComponents {
   private[algo] class StarOps(spark: org.apache.spark.sql.SparkSession) {
     import spark.implicits._
 
+    // NO distinct here (one (u,v) Exchange per star op saved): `e` is
+    // already distinct, so duplicates arise only for reciprocal pairs —
+    // min over a multiset equals min over its set, and the duplicate
+    // emissions collapse in each star op's FINAL distinct, so every
+    // round's output rows are identical to the deduped formulation
     private def symmetric(e: DataFrame): DataFrame =
-      e.union(e.select($"v".as("u"), $"u".as("v"))).filter($"u" =!= $"v").distinct()
+      e.union(e.select($"v".as("u"), $"u".as("v"))).filter($"u" =!= $"v")
 
     private def minOfNbhd(sym: DataFrame): DataFrame =
       sym.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))

@@ -60,14 +60,12 @@ object Hits {
    * @param maxIter  fixed superstep count (no tolerance early-exit: keeps
    *                 the unrolled SQL oracle exact; callers wanting
    *                 convergence detection read the metrics' delta)
-   * @return scores frame (id, hub, auth)
-   */
-  /**
    * @param computeDelta when true (default), each superstep's metric carries
    *                     max |Δhub| (one extra tiny action per superstep);
    *                     when false the metric's delta is -1.0 — the same
    *                     don't-compute-what-you-throw-away convention as
    *                     [[PageRank.run]] with tol = 0
+   * @return scores frame (id, hub, auth)
    */
   def run(
       vertices: DataFrame,
@@ -94,19 +92,21 @@ object Hits {
     // the two one-time edge layouts: each phase's join keys on a different
     // side of the edge, so each gets the co-located layout it needs — the
     // per-superstep joins never shuffle the edge side again
-    val edgesBySrc = e0.repartition($"src")
+    val edgesBySrc = e0.repartition(Layout.edgePartitions(edgeCount), $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgesByDst = e0.repartition($"dst")
+    val edgesByDst = e0.repartition(Layout.edgePartitions(edgeCount), $"dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    edgesBySrc.count(); edgesByDst.count()
+    // one action materializes both layout caches
+    edgesBySrc.union(edgesByDst).count()
     // fixed zero-score sets: a vertex with no in-edges always has auth 0,
     // no out-edges always hub 0 — precomputing them once replaces the
     // per-phase verts⋈raw left join (an n-row Exchange per phase) with a
-    // plain union (guide §2.4)
-    val noIn = verts.join(e0.select($"dst".as("id")).distinct(),
-      Seq("id"), "left_anti").localCheckpoint(true)
-    val noOut = verts.join(e0.select($"src".as("id")).distinct(),
-      Seq("id"), "left_anti").localCheckpoint(true)
+    // plain union (guide §2.4); they read the cached LAYOUTS, so the lazy
+    // frames cost one cheap distinct per materialization and no setup jobs
+    val noIn = verts.join(edgesByDst.select($"dst".as("id")).distinct(),
+      Seq("id"), "left_anti")
+    val noOut = verts.join(edgesBySrc.select($"src".as("id")).distinct(),
+      Seq("id"), "left_anti")
     if (!preCached) e0.unpersist()
 
     /** L1 total of a raw gather as a broadcast 1-row scalar (0 → divide by

@@ -63,10 +63,14 @@ object KCore {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
 
+    val rawPreCached = undRaw.storageLevel != StorageLevel.NONE
+    if (!rawPreCached) undRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val pairCount = undRaw.count()
     val und = undRaw
-      .repartition($"u")
+      .repartition(Layout.edgePartitions(pairCount), $"u")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairCount = und.count()
+    und.count()
+    if (!rawPreCached) undRaw.unpersist()
 
     var alive = vertices.select(col(vertices.columns.head).as("id"))
       .localCheckpoint(true)

@@ -66,7 +66,8 @@ object Neighborhood {
     // streams the cached edge partitions and the partial set_union combines
     // per-src WITHIN each task, so the per-superstep shuffle carries one
     // partially-deduped set per (task, src) — never the raw m×ball rows
-    val edgesBySrc = e0.repartition($"src")
+    val m = e0.count()
+    val edgesBySrc = e0.repartition(Layout.edgePartitions(m), $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesBySrc.count()
     if (!preCached) e0.unpersist()
@@ -176,12 +177,17 @@ object Neighborhood {
     require(log2m >= 4 && log2m <= 12, s"log2m must be in [4,12], got $log2m")
     val m = 1 << log2m
 
+    val preCached = edges.storageLevel != StorageLevel.NONE
+    val e0 = edges.toDF()
+    if (!preCached) e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val m2 = e0.count()
     val verts = vertices.select(col(vertices.columns.head).as("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
-    val edgesByDst = edges.toDF().repartition($"dst")
+    val edgesByDst = e0.repartition(Layout.edgePartitions(m2), $"dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesByDst.count()
+    if (!preCached) e0.unpersist()
 
     // one-element sketch per vertex: slot = hash mod m, register =
     // trailing-zero count of the remaining hash bits + 1 (the same

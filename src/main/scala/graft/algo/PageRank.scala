@@ -129,7 +129,7 @@ object PageRank {
     val outDeg = e0.groupBy($"src").agg(count(lit(1)).as("deg"))
     val edgesW = e0.join(outDeg, "src")
       .select($"src", $"dst", (lit(1.0) / $"deg").as("w"))
-      .repartition($"src")
+      .repartition(Layout.edgePartitions(edgeCount), $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesW.count()
     val dangling = verts.join(e0.select($"src".as("id")).distinct(),
@@ -263,7 +263,7 @@ object PageRank {
     val outDeg = e0.groupBy($"src").agg(count(lit(1)).as("deg"))
     val edgesW = e0.join(outDeg, "src")
       .select($"src", $"dst", (lit(1.0) / $"deg").as("w"))
-      .repartition($"src")
+      .repartition(Layout.edgePartitions(edgeCount), $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesW.count()
     // dangling vertices: no out-edges; their mass redistributes uniformly.

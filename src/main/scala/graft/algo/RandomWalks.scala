@@ -59,7 +59,8 @@ object RandomWalks {
     val preCached = edges.storageLevel != StorageLevel.NONE
     val e0 = edges.toDF()
     if (!preCached) e0.persist(StorageLevel.MEMORY_AND_DISK)
-    val edgesBySrc = e0.repartition($"src")
+    val m = e0.count()
+    val edgesBySrc = e0.repartition(Layout.edgePartitions(m), $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesBySrc.count()
 
