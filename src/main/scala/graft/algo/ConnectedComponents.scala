@@ -189,7 +189,7 @@ object ConnectedComponents {
     // emissions collapse in each star op's FINAL distinct, so every
     // round's output rows are identical to the deduped formulation
     private def symmetric(e: DataFrame): DataFrame =
-      e.union(e.select($"v".as("u"), $"u".as("v"))).filter($"u" =!= $"v")
+      e.union(e.select($"v".as("u"), $"u".as("v"))).filter($"u" =!= $"v").distinct()
 
     private def minOfNbhd(sym: DataFrame): DataFrame =
       sym.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))

@@ -968,10 +968,10 @@ object Dedup {
     import spark.implicits._
     val oldBk = cat.readBucketed(spark, table)
     // SHUFFLE_HASH, batch side as build — see winnowIncrPlan's note
-    val candNewOld = newBk.select($"id".as("x"), $"bk").hint("shuffle_hash")
+    val candNewOld = newBk.select($"id".as("x"), $"bk")
       .join(oldBk.select($"id".as("y"), $"bk"), "bk")
       .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
-    val candNewNew = newBk.select($"id".as("a"), $"bk").hint("shuffle_hash")
+    val candNewNew = newBk.select($"id".as("a"), $"bk")
       .join(newBk.select($"id".as("b"), $"bk"), "bk")
       .filter($"a" < $"b")
       .select($"a", $"b")
