@@ -40,16 +40,23 @@ object BenchExtra {
     var noop = false
     val names = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
+    def value(flag: String): String = {
+      require(i + 1 < args.length, s"$flag needs a value")
+      i += 2; args(i - 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--reps" => reps = args(i + 1).toInt; i += 2
-        case "--explain" => explainDir = Some(args(i + 1)); i += 2
-        case "--suffix" => suffix = args(i + 1); i += 2
+        case "--reps" => reps = value("--reps").toInt
+        case "--explain" => explainDir = Some(value("--explain"))
+        case "--suffix" => suffix = value("--suffix")
         case "--noop" => noop = true; i += 1
         case q => names += q; i += 1
       }
     }
     val sel = if (names.isEmpty) Headline else names.toSeq
+    val unknown = sel.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")}")
 
     val spark = GraftSession.get(cpus)
     val results = sel.flatMap { name =>
@@ -69,13 +76,18 @@ object BenchExtra {
         }
         val runs = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
+          var failed = false
           try {
             val df = fn(spark, sfDir)
             if (noop) df.write.format("noop").mode("overwrite").save()
             else df.count()
           } catch { case e: Throwable =>
+            failed = true
             System.err.println(s"[benchextra] $name failed: ${e.getMessage}") }
-          val secs = (System.nanoTime() - t0) / 1e9
+          // a failed run must never become the per-query minimum — record
+          // it as +inf-ish so the JSON's min/total only reflect real runs
+          val secs =
+            if (failed) 9999.0 else (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))

@@ -63,9 +63,13 @@ object Bfs {
       // the visited set is a union of per-depth CHECKPOINTED deltas — the
       // round-6 shape re-checkpointed the whole union every superstep,
       // rewriting O(visited) bytes per level; the lazy union reads the same
-      // bytes without the rewrite (plan depth = BFS depth, all leaves
-      // materialized)
+      // bytes without the rewrite. The union is COLLAPSED every 32 levels:
+      // unbounded nesting makes the per-superstep anti-join re-analyze an
+      // O(depth)-deep plan (O(depth²) driver work, and a Catalyst stack
+      // overflow on path-shaped graphs), so the rewrite cost is amortized
+      // to 1/32 of the round-6 shape instead of removed outright
       visited = visited.union(next)
+      if (depth % 32 == 31) visited = visited.localCheckpoint(true)
       frontier = next
       depth += 1
     }
@@ -172,7 +176,9 @@ object Bfs {
         .localCheckpoint(true)
       val n = next.count()
       // lazy union of checkpointed per-level deltas — no O(visited) rewrite
-      // per superstep (see [[distances]])
+      // per superstep (see [[distances]]; route searches are depth-bounded
+      // by the meeting condition, far below the plan-depth hazard, so no
+      // periodic collapse is needed here)
       (next, visited.union(next), n)
     }
 

@@ -108,7 +108,16 @@ object Neighborhood {
     * through the src-layout edge cache (state broadcast when its known
     * size allows — the join then streams the cached edge partitions and
     * the partial set_union combines per-src within each task), union with
-    * the vertex's own ball, fold by [[graft.functions.SetUnion]]. */
+    * the vertex's own ball, fold by [[graft.functions.SetUnion]].
+    *
+    * KNOWN TRADEOFF in the non-broadcast fallback: the join key is `dst`,
+    * so once the ball state outgrows the broadcast cutoff the cached src
+    * layout no longer co-locates the join and the edge side reshuffles by
+    * dst each superstep. The src layout is chosen FOR the broadcast case
+    * (exactly one partially-deduped set per src crosses the wire) because
+    * exact() is the small verification twin by contract — past the cutoff
+    * it stays correct but pays two m-row exchanges per superstep;
+    * [[hyperBall]] is the at-scale path. */
   private[graft] def ballStep(edgesBySrc: DataFrame, state: DataFrame,
       broadcastState: Boolean): DataFrame = {
     import graft.functions.SetUnion.set_union

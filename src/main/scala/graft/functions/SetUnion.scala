@@ -57,6 +57,16 @@ final class LongHashSet(initialCapacity: Int = 16) extends Serializable {
     }
   }
 
+  /** Visit every element (no allocation, no ordering guarantee). */
+  def foreachElem(f: Long => Unit): Unit = {
+    if (hasZero) f(0L)
+    var j = 0
+    while (j < keys.length) {
+      if (keys(j) != 0L) f(keys(j))
+      j += 1
+    }
+  }
+
   /** Distinct elements, ascending (deterministic output rows). */
   def toSortedArray: Array[Long] = {
     val out = new Array[Long](size)
@@ -124,10 +134,10 @@ case class SetUnion(elems: Expression,
   override def merge(buffer: LongHashSet, other: LongHashSet): LongHashSet =
     if (other == null) buffer
     else {
-      val arr = other.toSortedArray
-      val b = if (buffer == null) new LongHashSet(arr.length) else buffer
-      var i = 0
-      while (i < arr.length) { b.add(arr(i)); i += 1 }
+      // walk the other buffer's raw slots — merging needs no order, and
+      // the sort-then-insert alternative paid O(s log s) per partial merge
+      val b = if (buffer == null) new LongHashSet(other.size) else buffer
+      other.foreachElem(b.add)
       b
     }
 
